@@ -1,0 +1,74 @@
+import numpy as np
+import jax.numpy as jnp
+
+from warpdemux_tpu.ops.dtw import (
+    dtw_distance_matrix,
+    dtw_distance_ref,
+    dtw_distance_matrix_ref,
+)
+
+
+def test_trivial_identity():
+    s = np.arange(25, dtype=np.float64)
+    assert dtw_distance_ref(s, s, 15, 0.1) == 0.0
+    d = dtw_distance_matrix(jnp.asarray(s[None]), jnp.asarray(s[None]), 15, 0.1)
+    assert float(d[0, 0]) == 0.0
+
+
+def test_unbanded_matches_classic_dtw():
+    # With a full window and zero penalty, DTW reduces to the textbook
+    # recurrence; check against an independent full-matrix implementation.
+    rng = np.random.default_rng(0)
+    a, b = rng.normal(size=25), rng.normal(size=25)
+    D = np.full((26, 26), np.inf)
+    D[0, 0] = 0
+    for i in range(25):
+        for j in range(25):
+            c = (a[i] - b[j]) ** 2
+            D[i + 1, j + 1] = c + min(D[i, j], D[i, j + 1], D[i + 1, j])
+    want = np.sqrt(D[25, 25])
+    assert np.isclose(dtw_distance_ref(a, b, 25, 0.0), want)
+    got = dtw_distance_matrix(jnp.asarray(a[None]), jnp.asarray(b[None]), 25, 0.0)
+    assert np.isclose(float(got[0, 0]), want)
+
+
+def test_band_restricts_path():
+    # Tighter bands can only increase the optimal path cost; for a shifted
+    # oscillation the diagonal-only band is strictly worse than the full DTW.
+    rng = np.random.default_rng(7)
+    a = np.sin(np.linspace(0, 12, 25)) + rng.normal(0, 0.05, 25)
+    b = np.roll(np.sin(np.linspace(0, 12, 25)), 6) + rng.normal(0, 0.05, 25)
+    d1 = dtw_distance_ref(a, b, 1, 0.0)
+    d3 = dtw_distance_ref(a, b, 3, 0.0)
+    d25 = dtw_distance_ref(a, b, 25, 0.0)
+    assert d1 >= d3 >= d25
+    assert d1 > d25
+
+
+def test_penalty_increases_warped_distance():
+    a = np.sin(np.linspace(0, 3, 25))
+    b = np.sin(np.linspace(0.3, 3.3, 25))
+    d0 = dtw_distance_ref(a, b, 15, 0.0)
+    d1 = dtw_distance_ref(a, b, 15, 1.0)
+    assert d1 > d0
+
+
+def test_jnp_matches_numpy_reference_randomized():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(7, 25))
+    Y = rng.normal(size=(11, 25))
+    for window, penalty in [(15, 0.1), (5, 0.0), (25, 1.5), (1, 0.1)]:
+        want = dtw_distance_matrix_ref(X, Y, window, penalty)
+        got = np.asarray(
+            dtw_distance_matrix(jnp.asarray(X), jnp.asarray(Y), window, penalty)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_window_one_is_diagonal_only():
+    rng = np.random.default_rng(2)
+    a, b = rng.normal(size=25), rng.normal(size=25)
+    want = np.sqrt(np.sum((a - b) ** 2))
+    assert np.isclose(dtw_distance_ref(a, b, 1, 0.7), want)
+    got = dtw_distance_matrix(jnp.asarray(a[None]), jnp.asarray(b[None]), 1, 0.7)
+    assert np.isclose(float(got[0, 0]), want)
