@@ -1,0 +1,6 @@
+from warpdemux_tpu.models.registry import (
+    available_models,
+    load_model,
+    model_config,
+)
+from warpdemux_tpu.models.dtw_svm import DTWSVMModel

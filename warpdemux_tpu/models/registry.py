@@ -1,0 +1,52 @@
+"""Model registry: name -> (barcode count, chemistry, config, arrays).
+
+Mirrors the reference registry (warpdemux/models/model_files/config.toml,
+read by models/utils.py:13-16) with models stored as npz array bundles
+(see importer.py) instead of sklearn pickles.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from pathlib import Path
+
+import numpy as np
+
+MODEL_DIR = Path(__file__).parent / "model_files"
+
+
+def _registry() -> dict:
+    with open(MODEL_DIR / "config.toml", "rb") as f:
+        return tomllib.load(f)
+
+
+def available_models() -> list[str]:
+    return list(_registry().keys())
+
+
+def model_config(name: str) -> dict:
+    reg = _registry()
+    if name not in reg:
+        raise KeyError(
+            f"Unknown model {name!r}; available: {sorted(reg)}"
+        )
+    return reg[name]
+
+
+def load_model_arrays(name: str) -> dict[str, np.ndarray]:
+    path = MODEL_DIR / f"{name}.npz"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"Model arrays not found: {path}. Known registry entries without "
+            "shipped arrays (e.g. tRNA models, absent upstream too) cannot be "
+            "loaded."
+        )
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def load_model(name: str, dtype=np.float32):
+    """Load a model by name into a ready-to-predict DTWSVMModel."""
+    from warpdemux_tpu.models.dtw_svm import DTWSVMModel
+
+    return DTWSVMModel.from_arrays(load_model_arrays(name), name=name, dtype=dtype)
