@@ -1,0 +1,308 @@
+"""Batched adapter / poly(A) boundary detection (the ADAPTed capability).
+
+The reference delegates boundary detection to its ADAPTed submodule
+(combined_detect_{llr2,cnn,start_peak}, called at file_proc.py:395-416) whose
+source is not part of the reference checkout; this module implements the
+documented capability from the configuration contract (SURVEY.md 2.4:
+[core]/[mvs_polya]/[llr_boundaries]/[real_range]/[med_shift]/[rna_start_peak]
+knobs in config_files/rna004_130bps@v1.0*.toml) as one fused, fixed-shape,
+masked device function:
+
+RNA004 direct-RNA reads traverse the pore 3'->5': sequencing adapter
+(60-90 pA, high variance) -> poly(A) tail (flat, ~1.3-1.5x the adapter
+median, low variance) -> RNA body. Detection:
+
+1. forward rolling mean/variance over the calibrated signal (cumsum-based),
+2. poly(A) candidate mask: elevated mean (>= adapter_med * polya_scale) and
+   low variance (<= polya_var_max), sustained for min_obs_polya samples,
+3. first sustained candidate inside the allowed adapter-length range gives
+   the coarse adapter->polyA boundary; the run's end gives polyA->RNA,
+4. both boundaries are refined to sample precision with an exact two-segment
+   Gaussian log-likelihood changepoint scan in a local window (the "LLR"
+   method of the reference's llr_boundaries),
+5. region statistics (mean/std/median/MAD for adapter, polyA, preloaded RNA)
+   and the validation checks ([mvs_polya] median-shift & variance,
+   [real_range] local-range and adapter-MAD plausibility, [med_shift],
+   open-pore detection) produce the fail taxonomy.
+
+Everything is (B, L) masked math under one jit; no per-read host loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+
+from warpdemux_tpu.detect.containers import DetectArrays
+from warpdemux_tpu.ops.normalize import masked_median, masked_mad, masked_mean_std
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    # [core]
+    max_obs_trace: int = 10000
+    min_obs_adapter: int = 2000
+    max_obs_adapter: int = 6000
+    min_obs_polya: int = 100
+    downscale_factor: int = 10
+    # polyA detection ([mvs_polya]-derived)
+    polya_scale: float = 1.3  # pA_mean_adapter_med_scale_range lower bound
+    mean_window: int = 200
+    var_window: int = 500
+    polya_var_max: float = 30.0  # pA_var_range upper bound (std^2? ref: pA units)
+    median_shift_min: float = 5.0  # median_shift_range lower bound
+    llr_refine_window: int = 400
+    mvs_detect_check: bool = True
+    # [real_range]
+    real_signal_check: bool = False
+    local_range: tuple = (7.0, 35.0)
+    adapter_mad_range: tuple = (3.0, 12.0)
+    local_range_window: int = 300
+    max_obs_local_range: int = 5000
+    detect_open_pores: bool = False
+    open_pore_pa: float = 195.0
+    # [med_shift]
+    detect_med_shift: bool = False
+    med_shift_window: int = 10000
+    med_shift_min: float = 5.0
+
+
+def _rolling_mean_var_fwd(x, w):
+    """Forward rolling mean/variance: window [t, t+w) (cumsum-based, O(n))."""
+    B, L = x.shape
+    z = jnp.zeros((B, 1), x.dtype)
+    c1 = jnp.concatenate([z, jnp.cumsum(x, axis=1)], axis=1)
+    c2 = jnp.concatenate([z, jnp.cumsum(x * x, axis=1)], axis=1)
+    idx_hi = jnp.minimum(jnp.arange(L) + w, L)
+    s1 = c1[:, idx_hi] - c1[:, :L]
+    s2 = c2[:, idx_hi] - c2[:, :L]
+    n = (idx_hi - jnp.arange(L)).astype(x.dtype)[None, :]
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    return mean, var
+
+
+def _first_true(mask, default):
+    """Per-row index of first True, else `default`."""
+    any_ = jnp.any(mask, axis=1)
+    idx = jnp.argmax(mask, axis=1).astype(jnp.int32)
+    return jnp.where(any_, idx, default), any_
+
+
+def _llr_refine(x, coarse, radius, lo, hi):
+    """Exact two-segment Gaussian changepoint within [coarse-radius, coarse+radius].
+
+    Minimizes n1*log(var1) + n2*log(var2) over split positions; returns the
+    refined boundary clamped to [lo, hi].
+    """
+    B, L = x.shape
+    W = 2 * radius
+    start = jnp.clip(coarse - radius, 0, jnp.maximum(L - W, 0))
+    idx = start[:, None] + jnp.arange(W)[None, :]
+    win = jnp.take_along_axis(x, jnp.minimum(idx, L - 1), axis=1)  # (B, W)
+    z = jnp.zeros((B, 1), x.dtype)
+    c1 = jnp.concatenate([z, jnp.cumsum(win, axis=1)], axis=1)
+    c2 = jnp.concatenate([z, jnp.cumsum(win * win, axis=1)], axis=1)
+    t = jnp.arange(1, W, dtype=x.dtype)  # split at 1..W-1
+    n1 = t[None, :]
+    n2 = W - n1
+    s1, s2 = c1[:, 1:W], c2[:, 1:W]
+    v1 = jnp.maximum(s2 / n1 - (s1 / n1) ** 2, 1e-6)
+    sT1 = c1[:, W : W + 1] - s1
+    sT2 = c2[:, W : W + 1] - s2
+    v2 = jnp.maximum(sT2 / n2 - (sT1 / n2) ** 2, 1e-6)
+    cost = n1 * jnp.log(v1) + n2 * jnp.log(v2)
+    split = jnp.argmin(cost, axis=1).astype(jnp.int32) + 1
+    return jnp.clip(start + split, lo, hi)
+
+
+def _region_stats(x, pos, start, end):
+    mask = (pos >= start[:, None]) & (pos < end[:, None])
+    mean, std = masked_mean_std(x, mask)
+    med = masked_median(x, mask)
+    mad = masked_mad(x, mask, med)
+    empty = end <= start
+    fix = lambda a: jnp.where(empty, 0.0, a)
+    return fix(mean), fix(std), fix(jnp.nan_to_num(med)), fix(jnp.nan_to_num(mad))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_boundaries_batch(
+    signals: jnp.ndarray,
+    in_lens: jnp.ndarray,
+    cfg: DetectConfig = DetectConfig(),
+) -> DetectArrays:
+    """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch."""
+    x = signals.astype(jnp.float32)
+    B, L = x.shape
+    in_lens = in_lens.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    valid = pos < in_lens[:, None]
+    xz = jnp.where(valid, x, 0.0)
+
+    mean_f, var_f = _rolling_mean_var_fwd(xz, cfg.mean_window)
+    _, var_w = _rolling_mean_var_fwd(xz, cfg.var_window)
+
+    # adapter level proxy: median of the first min_obs_adapter valid samples
+    ad_proxy_mask = valid & (pos < cfg.min_obs_adapter)
+    adapter_proxy_med = masked_median(x, ad_proxy_mask)
+
+    # poly(A) candidates: elevated + flat + fully inside the valid region
+    thr = cfg.polya_scale * adapter_proxy_med[:, None]
+    win_ok = (pos + cfg.min_obs_polya) <= in_lens[:, None]
+    cand = (mean_f > thr) & (var_w < cfg.polya_var_max) & valid & win_ok
+
+    # sustained for min_obs_polya samples
+    z = jnp.zeros((B, 1), jnp.int32)
+    cc = jnp.concatenate([z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1)
+    W = cfg.min_obs_polya
+    idx_hi = jnp.minimum(jnp.arange(L) + W, L)
+    run_sum = cc[:, idx_hi] - cc[:, :L]
+    sustained = (run_sum == W) & cand
+
+    coarse_ps, found = _first_true(sustained, jnp.int32(0))
+
+    # count distinct sustained runs (polya_candidates column)
+    sust_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), sustained[:, :-1]], axis=1
+    )
+    run_starts = sustained & ~sust_prev
+    polya_candidates = jnp.sum(run_starts, axis=1).astype(jnp.int32)
+
+    # poly(A) end: first position >= coarse_ps where the region stops being
+    # both elevated and flat (variance catches RNA starts whose level is
+    # close to the threshold; the LLR refinement then pins the sample).
+    flat_high = (mean_f > thr) & (var_f <= cfg.polya_var_max) & valid
+    lapse = (~flat_high) & (pos >= coarse_ps[:, None] + W)
+    coarse_pe, has_end = _first_true(lapse, jnp.int32(0))
+    coarse_pe = jnp.where(has_end, coarse_pe, in_lens)
+    coarse_pe = jnp.minimum(coarse_pe + cfg.mean_window // 2, in_lens)
+
+    # LLR sample-precision refinement of both boundaries
+    polya_start = _llr_refine(
+        xz, coarse_ps, cfg.llr_refine_window, jnp.int32(0), in_lens
+    )
+    polya_end = _llr_refine(
+        xz, coarse_pe, cfg.llr_refine_window, polya_start, in_lens
+    )
+    polya_start = jnp.where(found, polya_start, 0)
+    polya_end = jnp.where(found, polya_end, 0)
+
+    # adapter start: first sub-open-pore sample (usually 0)
+    below_pore, _ = _first_true((mean_f < cfg.open_pore_pa) & valid, jnp.int32(0))
+    adapter_start = below_pore
+    adapter_end = polya_start
+
+    # ---- region statistics
+    ad_mean, ad_std, ad_med, ad_mad = _region_stats(x, pos, adapter_start, adapter_end)
+    pa_mean, pa_std, pa_med, pa_mad = _region_stats(x, pos, polya_start, polya_end)
+    rna_start = polya_end
+    rna_end = in_lens
+    rna_mean, rna_std, rna_med, rna_mad = _region_stats(x, pos, rna_start, rna_end)
+
+    # ---- fail taxonomy (lower code = earlier gate)
+    adapter_len = adapter_end - adapter_start
+    too_short_sig = in_lens < (cfg.min_obs_adapter + cfg.min_obs_polya)
+    no_polya = ~found
+    ad_too_short = found & (adapter_len < cfg.min_obs_adapter)
+    ad_too_long = found & (adapter_len > cfg.max_obs_adapter)
+
+    fail = jnp.zeros(B, jnp.int32)
+
+    def set_fail(fail, cond, code):
+        return jnp.where((fail == 0) & cond, jnp.int32(code), fail)
+
+    fail = set_fail(fail, too_short_sig, 1)
+    fail = set_fail(fail, no_polya, 2)
+    fail = set_fail(fail, ad_too_short, 3)
+    fail = set_fail(fail, ad_too_long, 4)
+
+    if cfg.mvs_detect_check:
+        # median shift adapter->polyA, plus flatness of the *flattest*
+        # var_window inside the polyA region (the region may legitimately
+        # extend into noisier territory near the RNA start).
+        med_shift = pa_med - ad_med
+        pa_var_mask = (pos >= polya_start[:, None]) & (
+            pos + cfg.var_window <= polya_end[:, None]
+        )
+        min_pa_var = jnp.min(
+            jnp.where(pa_var_mask, var_w, jnp.inf), axis=1
+        )
+        min_pa_var = jnp.where(jnp.isfinite(min_pa_var), min_pa_var, 0.0)
+        mvs_bad = (med_shift < cfg.median_shift_min) | (
+            min_pa_var > cfg.polya_var_max
+        )
+        fail = set_fail(fail, mvs_bad, 5)
+
+    if cfg.real_signal_check:
+        # local range plausibility on the downsampled adapter region
+        ds = cfg.downscale_factor
+        Lds = L // ds
+        xds = jnp.mean(xz[:, : Lds * ds].reshape(B, Lds, ds), axis=2)
+        pds = jax.lax.broadcasted_iota(jnp.int32, (B, Lds), 1)
+        lim = jnp.minimum(adapter_end, cfg.max_obs_local_range) // ds
+        admask_ds = (pds >= adapter_start[:, None] // ds) & (pds < lim[:, None])
+        wds = max(cfg.local_range_window // ds, 2)
+        lo_r = -jax.lax.reduce_window(
+            jnp.where(admask_ds, -xds, -jnp.inf), -jnp.inf, jax.lax.max,
+            (1, wds), (1, 1), "VALID",
+        )
+        hi_r = jax.lax.reduce_window(
+            jnp.where(admask_ds, xds, -jnp.inf), -jnp.inf, jax.lax.max,
+            (1, wds), (1, 1), "VALID",
+        )
+        rng_ok_mask = admask_ds[:, : hi_r.shape[1]] & admask_ds[:, wds - 1 :]
+        local_rng = jnp.where(rng_ok_mask, hi_r - lo_r, jnp.nan)
+        med_rng = masked_median(
+            jnp.nan_to_num(local_rng, nan=0.0), rng_ok_mask
+        )
+        rr_bad = (
+            (med_rng < cfg.local_range[0])
+            | (med_rng > cfg.local_range[1])
+            | (ad_mad < cfg.adapter_mad_range[0])
+            | (ad_mad > cfg.adapter_mad_range[1])
+        )
+        fail = set_fail(fail, rr_bad, 6)
+
+    if cfg.detect_med_shift:
+        ms_end = jnp.minimum(rna_start + cfg.med_shift_window, in_lens)
+        ms_mask = (pos >= rna_start[:, None]) & (pos < ms_end[:, None])
+        rna_med_w = jnp.nan_to_num(masked_median(x, ms_mask))
+        fail = set_fail(
+            fail, (rna_med_w - ad_med) < cfg.med_shift_min, 7
+        )
+
+    if cfg.detect_open_pores:
+        op_mask = (pos >= adapter_start[:, None]) & (pos < adapter_end[:, None])
+        frac_open = jnp.sum(
+            jnp.where(op_mask & (x > cfg.open_pore_pa), 1.0, 0.0), axis=1
+        ) / jnp.maximum(jnp.sum(op_mask, axis=1), 1)
+        fail = set_fail(fail, frac_open > 0.5, 8)
+
+    success = fail == 0
+    return DetectArrays(
+        success=success,
+        fail_code=fail,
+        adapter_start=adapter_start,
+        adapter_end=adapter_end,
+        polya_start=polya_start,
+        polya_end=polya_end,
+        polya_candidates=polya_candidates,
+        adapter_mean=ad_mean,
+        adapter_std=ad_std,
+        adapter_med=ad_med,
+        adapter_mad=ad_mad,
+        polya_mean=pa_mean,
+        polya_std=pa_std,
+        polya_med=pa_med,
+        polya_mad=pa_mad,
+        rna_start=rna_start,
+        rna_len=rna_end - rna_start,
+        rna_mean=rna_mean,
+        rna_std=rna_std,
+        rna_med=rna_med,
+        rna_mad=rna_mad,
+    )

@@ -1,0 +1,99 @@
+"""Detection result containers: struct-of-arrays, fixed shapes.
+
+Capability parity with the reference's (absent) ADAPTed submodule contract,
+reconstructed from its call sites: per-read DetectResults with success,
+fail_reason, adapter/polyA boundaries and region summary statistics
+(reference: warpdemux/sig_proc.py:400-418 consumers;
+README.md:425-457 output column list).
+
+The reference keeps one DetectResults object per read; on TPU the whole
+minibatch is one struct of (B,) arrays. Fail reasons are integer codes on
+device, mapped to strings at the host boundary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Integer fail codes (0 = success).
+FAIL_REASONS = [
+    "",  # 0: success
+    "signal too short",  # 1
+    "no polyA found",  # 2
+    "adapter too short",  # 3
+    "adapter too long",  # 4
+    "mvs polya check failed",  # 5
+    "real signal check failed",  # 6
+    "med shift check failed",  # 7
+    "open pore signal",  # 8
+    "rna start peak not found",  # 9
+]
+
+
+def fail_code_to_reason(codes: np.ndarray) -> list[str]:
+    return [FAIL_REASONS[int(c)] for c in codes]
+
+
+class DetectArrays(NamedTuple):
+    """Batched detection results; every field is a (B,) array."""
+
+    success: jnp.ndarray  # bool
+    fail_code: jnp.ndarray  # int32 into FAIL_REASONS
+    adapter_start: jnp.ndarray  # int32 sample index
+    adapter_end: jnp.ndarray  # int32
+    polya_start: jnp.ndarray  # int32
+    polya_end: jnp.ndarray  # int32
+    polya_candidates: jnp.ndarray  # int32
+    adapter_mean: jnp.ndarray
+    adapter_std: jnp.ndarray
+    adapter_med: jnp.ndarray
+    adapter_mad: jnp.ndarray
+    polya_mean: jnp.ndarray
+    polya_std: jnp.ndarray
+    polya_med: jnp.ndarray
+    polya_mad: jnp.ndarray
+    rna_start: jnp.ndarray  # int32 (rna_preloaded_start)
+    rna_len: jnp.ndarray  # int32 (rna_preloaded_len)
+    rna_mean: jnp.ndarray
+    rna_std: jnp.ndarray
+    rna_med: jnp.ndarray
+    rna_mad: jnp.ndarray
+
+    def to_summary_frame(self, read_ids, full_lengths, in_lengths):
+        """Rows for detected_boundaries/failed_reads CSVs
+        (column contract: README.md:425-457)."""
+        import pandas as pd
+
+        g = lambda a: np.asarray(a)
+        return pd.DataFrame(
+            {
+                "read_id": list(read_ids),
+                "signal_len": np.asarray(full_lengths),
+                "preloaded": np.asarray(in_lengths),
+                "adapter_start": g(self.adapter_start),
+                "adapter_end": g(self.adapter_end),
+                "adapter_len": g(self.adapter_end) - g(self.adapter_start),
+                "adapter_mean": g(self.adapter_mean),
+                "adapter_std": g(self.adapter_std),
+                "adapter_med": g(self.adapter_med),
+                "adapter_mad": g(self.adapter_mad),
+                "polya_start": g(self.polya_start),
+                "polya_end": g(self.polya_end),
+                "polya_len": g(self.polya_end) - g(self.polya_start),
+                "polya_mean": g(self.polya_mean),
+                "polya_std": g(self.polya_std),
+                "polya_med": g(self.polya_med),
+                "polya_mad": g(self.polya_mad),
+                "polya_candidates": g(self.polya_candidates),
+                "rna_preloaded_start": g(self.rna_start),
+                "rna_preloaded_len": g(self.rna_len),
+                "rna_preloaded_mean": g(self.rna_mean),
+                "rna_preloaded_std": g(self.rna_std),
+                "rna_preloaded_med": g(self.rna_med),
+                "rna_preloaded_mad": g(self.rna_mad),
+                "fail_reason": fail_code_to_reason(g(self.fail_code)),
+            }
+        )
