@@ -124,6 +124,6 @@ def test_predictions_df_format():
     fpts = rng.normal(size=(3, 25))
     pred, conf, probs = model.predict(fpts)
     df = model.predictions_to_df(["r1", "r2", "r3"], pred, conf, probs)
-    assert list(df.columns[:3]) == ["read_id", "predicted_barcode", "confidence_score"]
+    assert list(df.columns[:3]) == ["#read_id", "predicted_barcode", "confidence_score"]
     # label columns follow the reference's p{label:02d} naming, noise = p-1
     assert "p03" in df.columns and "p-1" in df.columns

@@ -1,0 +1,73 @@
+"""Config resolution: model name -> chemistry TOML -> SigProcConfig, with
+dotted-key CLI overrides (the reference's layered loading,
+warpdemux/config/utils.py:42-55 and --export overrides parser.py:504-512)."""
+
+from __future__ import annotations
+
+import ast
+import tomllib
+from dataclasses import replace
+from pathlib import Path
+
+from warpdemux_tpu.config.sig_proc import SigProcConfig
+
+CONFIG_DIR = Path(__file__).parent / "config_files"
+
+
+def _deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_chemistry_dict(name: str) -> dict:
+    path = CONFIG_DIR / f"{name}.toml"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"chemistry config {name!r} not found in {CONFIG_DIR}"
+        )
+    with open(path, "rb") as f:
+        return tomllib.load(f)
+
+
+def load_chemistry_config(name: str, overrides: dict | None = None) -> SigProcConfig:
+    d = load_chemistry_dict(name)
+    if overrides:
+        d = _deep_merge(d, overrides)
+    return SigProcConfig.from_dict(d)
+
+
+def get_model_spc_config(model_name: str, overrides: dict | None = None):
+    """Resolve a model name to its chemistry SigProcConfig via the registry."""
+    from warpdemux_tpu.models.registry import model_config
+
+    spc_name = model_config(model_name)["spc"]
+    return load_chemistry_config(spc_name, overrides)
+
+
+def parse_export_overrides(pairs: list[str]) -> dict:
+    """Parse `section.key=value` CLI overrides into a nested dict
+    (the reference's --export semantics, parser.py:253-307)."""
+    out: dict = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"override {pair!r} is not key=value")
+        key, val = pair.split("=", 1)
+        try:
+            value = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            value = val
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
+
+
+def apply_overrides(spc_dict: dict, overrides: dict) -> dict:
+    return _deep_merge(spc_dict, overrides)

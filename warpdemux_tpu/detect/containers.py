@@ -30,6 +30,10 @@ FAIL_REASONS = [
     "med shift check failed",  # 7
     "open pore signal",  # 8
     "rna start peak not found",  # 9
+    "event segmentation failed",  # 10
+    "signal normalization failed",  # 11
+    "segment normalization failed",  # 12
+    "consensus query outlier",  # 13
 ]
 
 

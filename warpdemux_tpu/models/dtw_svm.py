@@ -115,7 +115,7 @@ class DTWSVMModel:
 
         label_map = np.asarray(self.label_map)
         cols = {
-            "read_id": read_ids,
+            "#read_id": read_ids,
             "predicted_barcode": pred,
             "confidence_score": np.round(conf, 3),
         }

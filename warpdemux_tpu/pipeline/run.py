@@ -1,0 +1,274 @@
+"""Offline batch pipeline orchestration.
+
+Mirrors the reference's run_demux (warpdemux/file_proc.py:1011-1300) with a
+TPU-shaped execution model: a producer thread preloads fixed-shape pod5
+minibatches into a bounded queue (I/O-compute overlap + backpressure, like
+file_proc.py:333-354), the main loop issues one fused device step per
+minibatch (instead of a process pool), and writer logic re-chunks results
+into bidx-sharded output files of batch_size_output rows
+(file_proc.py:500-630). `continue` support scans prior outputs into an
+exclude set (file_proc.py:128-185).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from warpdemux_tpu.config.config import Config
+from warpdemux_tpu.detect.containers import fail_code_to_reason
+from warpdemux_tpu.io.pod5 import yield_signal_batches
+from warpdemux_tpu.io import writers
+from warpdemux_tpu.pipeline.step import make_demux_step
+
+
+class _ShardAccumulator:
+    """Accumulates DataFrames and flushes batch_size_output-row shards."""
+
+    def __init__(self, flush_fn, rows_per_shard: int, bidx0: int = 0):
+        self.flush_fn = flush_fn
+        self.rows_per_shard = rows_per_shard
+        self.bidx = bidx0
+        self.frames: list[pd.DataFrame] = []
+        self.count = 0
+
+    def add(self, df: pd.DataFrame):
+        if df is None or not len(df):
+            return
+        self.frames.append(df)
+        self.count += len(df)
+        while self.count >= self.rows_per_shard:
+            big = pd.concat(self.frames, ignore_index=True)
+            self.flush_fn(big.iloc[: self.rows_per_shard], self.bidx)
+            rest = big.iloc[self.rows_per_shard :]
+            self.frames = [rest] if len(rest) else []
+            self.count = len(rest)
+            self.bidx += 1
+
+    def close(self):
+        if self.count:
+            big = pd.concat(self.frames, ignore_index=True)
+            self.flush_fn(big, self.bidx)
+            self.bidx += 1
+            self.frames, self.count = [], 0
+
+
+@dataclass
+class RunStats:
+    total: int = 0
+    passed: int = 0
+    failed: int = 0
+    predicted: int = 0
+    elapsed_s: float = 0.0
+
+
+def run_demux(config: Config, model=None) -> RunStats:
+    """Demux/prep over pod5 inputs. `model` may be preloaded; otherwise it is
+    resolved from config.classif.model_name when predicting."""
+    t0 = time.time()
+    spc = config.sig_proc
+    do_predict = config.task.predict
+    if do_predict and model is None:
+        from warpdemux_tpu.models.registry import load_model
+
+        model = load_model(config.classif.model_name)
+
+    step = make_demux_step(model, spc, with_predict=do_predict)
+
+    B = config.batch.minibatch_size
+    L = spc.sig_preload_size
+
+    feed: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        try:
+            for batch in yield_signal_batches(
+                config.input.files,
+                config.input.read_ids_incl,
+                config.input.read_ids_excl,
+                batch_size=B,
+                preload_size=L,
+            ):
+                feed.put(batch)
+        finally:
+            feed.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    out = config.output
+    pred_acc = _ShardAccumulator(
+        lambda df, b: writers.save_predictions(df, out.output_dir_pred, b),
+        config.batch.batch_size_output,
+        config.batch.bidx_predict,
+    )
+    fail_acc = _ShardAccumulator(
+        lambda df, b: writers.save_boundaries(
+            df, out.output_dir_fail, b, failed=True
+        ),
+        config.batch.batch_size_output,
+        config.batch.bidx_fail,
+    )
+    bound_acc = _ShardAccumulator(
+        lambda df, b: writers.save_boundaries(df, out.output_dir_boundaries, b),
+        config.batch.batch_size_output,
+        config.batch.bidx_pass,
+    )
+
+    # fingerprints are written one npz per pass-shard, aligned with bound_acc
+    fpt_rows: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    fpt_count = 0
+    fpt_bidx = config.batch.bidx_pass
+
+    def flush_fpts(force=False):
+        nonlocal fpt_rows, fpt_count, fpt_bidx
+        rows_per = config.batch.batch_size_output
+        while fpt_count >= rows_per or (force and fpt_count > 0):
+            take, taken, rest = [], 0, []
+            for ids, fp, dw in fpt_rows:
+                if taken >= rows_per:
+                    rest.append((ids, fp, dw))
+                    continue
+                n = min(len(ids), rows_per - taken)
+                take.append((ids[:n], fp[:n], dw[:n]))
+                taken += n
+                if n < len(ids):
+                    rest.append((ids[n:], fp[n:], dw[n:]))
+            ids = np.concatenate([t[0] for t in take])
+            fp = np.concatenate([t[1] for t in take])
+            dw = np.concatenate([t[2] for t in take])
+            writers.save_fingerprints(
+                ids,
+                fp,
+                out.output_dir_fpts,
+                fpt_bidx,
+                dwell_times=dw if config.output.save_dwell_time else None,
+            )
+            fpt_bidx += 1
+            fpt_rows = rest
+            fpt_count = sum(len(r[0]) for r in fpt_rows)
+            if force and fpt_count == 0:
+                break
+
+    stats = RunStats()
+    while True:
+        item = feed.get()
+        if item is None:
+            break
+        sigs, in_lens, full_lens, read_ids = item
+        n = sigs.shape[0]
+        if n < B:  # pad the tail batch to the compiled shape
+            pad = B - n
+            sigs = np.concatenate([sigs, np.zeros((pad, L), np.float32)])
+            in_lens = np.concatenate([in_lens, np.zeros(pad, np.int32)])
+        res = step(sigs, in_lens)
+
+        success = np.asarray(res.success)[:n]
+        fail_code = np.asarray(res.fail_code)[:n]
+        stats.total += n
+        stats.passed += int(success.sum())
+        stats.failed += int((~success).sum())
+
+        from warpdemux_tpu.detect.containers import DetectArrays
+
+        det_n = DetectArrays(*[np.asarray(a)[:n] for a in res.detect])
+        det_df = det_n.to_summary_frame(
+            read_ids, full_lens, np.asarray(in_lens)[:n]
+        )
+        fptA = res.fpt
+        for col, arr in [
+            ("adapter_dt_med", fptA.adapter_dt_med),
+            ("adapter_dt_mad", fptA.adapter_dt_mad),
+            ("adapter_event_mean", fptA.adapter_event_mean),
+            ("adapter_event_std", fptA.adapter_event_std),
+            ("adapter_event_med", fptA.adapter_event_med),
+            ("adapter_event_mad", fptA.adapter_event_mad),
+        ]:
+            det_df[col] = np.asarray(arr)[:n]
+        det_df["fail_reason"] = fail_code_to_reason(fail_code)
+
+        if config.output.save_boundaries:
+            bound_acc.add(det_df[success].drop(columns=["fail_reason"]))
+        fail_acc.add(det_df[~success])
+
+        if config.output.save_fpts and success.any():
+            fpt_rows.append(
+                (
+                    np.asarray(read_ids)[success],
+                    np.asarray(fptA.fpt)[:n][success],
+                    np.asarray(fptA.dwell)[:n][success],
+                )
+            )
+            fpt_count += int(success.sum())
+            flush_fpts()
+
+        if do_predict and success.any():
+            pred = np.asarray(res.pred)[:n][success]
+            conf = np.asarray(res.conf)[:n][success]
+            probs = np.asarray(res.probs)[:n][success]
+            df = model.predictions_to_df(
+                np.asarray(read_ids)[success], pred, conf, probs
+            )
+            pred_acc.add(df)
+            stats.predicted += len(df)
+
+    pred_acc.close()
+    fail_acc.close()
+    bound_acc.close()
+    flush_fpts(force=True)
+    stats.elapsed_s = time.time() - t0
+    logging.info(
+        "demux done: %d reads (%d pass / %d fail / %d predicted) in %.1fs "
+        "(%.0f reads/s)",
+        stats.total,
+        stats.passed,
+        stats.failed,
+        stats.predicted,
+        stats.elapsed_s,
+        stats.total / max(stats.elapsed_s, 1e-9),
+    )
+    return stats
+
+
+def run_predict_from_fpts(config: Config, model=None) -> RunStats:
+    """predict mode: classify previously saved fingerprints
+    (reference file_proc.py:282-330, 457-497)."""
+    t0 = time.time()
+    if model is None:
+        from warpdemux_tpu.models.registry import load_model
+
+        model = load_model(config.classif.model_name)
+    out = config.output
+    pred_acc = _ShardAccumulator(
+        lambda df, b: writers.save_predictions(df, out.output_dir_pred, b),
+        config.batch.batch_size_output,
+        config.batch.bidx_predict,
+    )
+    stats = RunStats()
+    excl = config.input.read_ids_excl
+    for npz_file in config.input.files:
+        with np.load(npz_file, allow_pickle=True) as z:
+            ids = z["read_ids"]
+            fpts = z["signals"]
+        if excl:
+            keep = np.array([rid not in excl for rid in ids])
+            ids, fpts = ids[keep], fpts[keep]
+        if not len(ids):
+            continue
+        finite = np.isfinite(fpts).all(axis=1)
+        if finite.any():
+            pred, conf, probs = model.predict(
+                np.nan_to_num(fpts[finite].astype(np.float32))
+            )
+            df = model.predictions_to_df(ids[finite], pred, conf, probs)
+            pred_acc.add(df)
+            stats.predicted += len(df)
+        stats.total += len(ids)
+    pred_acc.close()
+    stats.elapsed_s = time.time() - t0
+    return stats

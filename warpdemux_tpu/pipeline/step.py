@@ -1,0 +1,126 @@
+"""The fused per-minibatch device step: raw signal -> barcode predictions.
+
+The reference splits this across a process pool (ADAPTed detect -> per-read
+fingerprint loops -> dtaidistance DTW -> sklearn SVC; call stack
+SURVEY/file_proc.py:380-454). Here the whole chain is ONE jitted XLA program
+per minibatch:
+
+    detect_boundaries_batch -> fingerprints_from_boundaries
+        -> dtw (Pallas on TPU) -> exp kernel -> SVM proba -> postproc
+
+One device dispatch per minibatch with small outputs keeps the host<->device
+path off the critical path and is what the multi-chip runtime shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from warpdemux_tpu.detect.boundaries import detect_boundaries_batch
+from warpdemux_tpu.detect.containers import DetectArrays
+from warpdemux_tpu.ops.fingerprint import (
+    FingerprintArrays,
+    fingerprints_from_boundaries,
+)
+from warpdemux_tpu.ops import svm as svm_ops
+from warpdemux_tpu.config.sig_proc import SigProcConfig
+
+
+class DemuxStepOutput(NamedTuple):
+    detect: DetectArrays
+    fpt: FingerprintArrays
+    fail_code: jnp.ndarray  # (B,) int32: merged detect+fingerprint taxonomy
+    success: jnp.ndarray  # (B,) bool
+    pred: jnp.ndarray  # (B,) int32 barcode (-1 noise; only valid if success)
+    conf: jnp.ndarray  # (B,)
+    probs: jnp.ndarray  # (B, k)
+
+
+def make_demux_step(model, spc: SigProcConfig, with_predict: bool = True):
+    """Build the (signals (B, L), in_lens (B,)) -> DemuxStepOutput function.
+
+    `model` is a DTWSVMModel (or None for prep-only runs).
+
+    The chain runs as three separately-jitted dispatches (detect ->
+    fingerprint -> classify) with all intermediates staying on device.
+    Fusing the whole chain into one XLA program compiles fine functionally
+    but makes this environment's remote TPU compiler take minutes and
+    behave erratically (4-25x the per-stage compile time); three stable
+    ~10s compiles with device-resident handoffs cost only dispatch latency,
+    which pipelining across minibatches hides.
+    """
+    dcfg, fcfg = spc.detect, spc.fingerprint
+
+    if with_predict and model is not None:
+        use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from warpdemux_tpu.ops.dtw_pallas import dtw_distance_matrix_pallas
+
+            dtw_fn = functools.partial(
+                dtw_distance_matrix_pallas,
+                window=model.window,
+                penalty=model.penalty,
+            )
+        else:
+            from warpdemux_tpu.ops.dtw import dtw_distance_matrix
+
+            dtw_fn = functools.partial(
+                dtw_distance_matrix,
+                window=model.window,
+                penalty=model.penalty,
+            )
+        X_sv, params = model.X_sv, model.params
+        label_map, thresholds = model.label_map, model.thresholds
+        gamma, pwr = model.gamma, model.pwr_dist
+
+        @jax.jit
+        def classify(fpts, success):
+            fpts_safe = jnp.where(success[:, None], fpts, 0.0).astype(
+                jnp.float32
+            )
+            D = dtw_fn(fpts_safe, X_sv)
+            K = svm_ops.pdist_kernel(D, gamma, pwr)
+            probs = svm_ops.predict_proba(K, params)
+            pred, conf = svm_ops.process_probs(probs, label_map, thresholds)
+            return pred, conf, probs
+
+    @jax.jit
+    def merge_fail(det_fail, fpt_ok):
+        fail = jnp.where(
+            (det_fail == 0) & ~fpt_ok, jnp.int32(10), det_fail
+        )  # event segmentation failed
+        return fail, fail == 0
+
+    def step(signals, in_lens):
+        signals = jnp.asarray(signals, jnp.float32)
+        in_lens = jnp.asarray(in_lens, jnp.int32)
+        det = detect_boundaries_batch(signals, in_lens, dcfg)
+        fpt = fingerprints_from_boundaries(
+            signals, in_lens, det.adapter_start, det.adapter_end, fcfg
+        )
+        fail, success = merge_fail(det.fail_code, fpt.ok)
+
+        if with_predict and model is not None:
+            pred, conf, probs = classify(fpt.fpt, success)
+        else:
+            B = signals.shape[0]
+            pred = jnp.full(B, -1, jnp.int32)
+            conf = jnp.zeros(B, jnp.float32)
+            probs = jnp.zeros((B, 1), jnp.float32)
+
+        return DemuxStepOutput(
+            detect=det,
+            fpt=fpt,
+            fail_code=fail,
+            success=success,
+            pred=pred,
+            conf=conf,
+            probs=probs,
+        )
+
+    return step
