@@ -1,0 +1,95 @@
+"""End-to-end demux throughput benchmark (one JSON line on stdout).
+
+Measures the full per-minibatch path on the default backend (the real TPU
+chip under the driver): host minibatch -> device (detect -> fingerprint ->
+DTW -> SVM) -> predictions fetched to host. Synthetic RNA004-style squiggles
+with known structure stand in for pod5 decode (which is host-side and
+overlapped by the producer thread in production runs).
+
+Baseline: the reference demuxes ~100k reads in 2-3 min on 8 CPU cores
+(~700 reads/s mid-range; README.md:375, BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 700.0
+MODEL = "WDX4_rna004_v1_0"
+B = 1000  # minibatch size (reference default)
+L = 10000  # preload size
+WARM_BATCHES = 1
+TIMED_BATCHES = 8
+
+
+def synth_minibatch(rng, B, L):
+    """Event-structured adapter + flat polyA + RNA, vectorized."""
+    n_ev = L // 25
+    adapter_levels = rng.normal(78.0, 11.0, size=(B, n_ev)).astype(np.float32)
+    sig = np.repeat(adapter_levels, 25, axis=1)[:, :L]
+    # overwrite [a_end, p_end) with flat polyA and beyond with RNA-ish levels
+    a_end = rng.integers(2800, 5600, size=B)
+    p_len = rng.integers(800, 2500, size=B)
+    idx = np.arange(L)[None, :]
+    in_pa = (idx >= a_end[:, None]) & (idx < (a_end + p_len)[:, None])
+    in_rna = idx >= (a_end + p_len)[:, None]
+    rna_levels = np.repeat(
+        rng.normal(96.0, 13.0, size=(B, n_ev)).astype(np.float32), 25, axis=1
+    )[:, :L]
+    sig = np.where(in_pa, 104.0, sig)
+    sig = np.where(in_rna, rna_levels, sig)
+    sig += rng.normal(0, 1.8, size=(B, L)).astype(np.float32)
+    return sig.astype(np.float32), np.full(B, L, np.int32)
+
+
+def main():
+    import jax
+
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.models.registry import load_model
+    from warpdemux_tpu.pipeline.step import make_demux_step
+
+    rng = np.random.default_rng(0)
+    model = load_model(MODEL)
+    spc = get_model_spc_config(MODEL)
+    step = make_demux_step(model, spc)
+
+    batches = [synth_minibatch(rng, B, L) for _ in range(WARM_BATCHES + TIMED_BATCHES)]
+
+    # warmup / compile
+    for sigs, lens in batches[:WARM_BATCHES]:
+        res = step(sigs, lens)
+        np.asarray(res.pred)
+
+    t0 = time.time()
+    n_pass = 0
+    for sigs, lens in batches[WARM_BATCHES:]:
+        res = step(sigs, lens)
+        pred = np.asarray(res.pred)  # host fetch closes the loop
+        conf = np.asarray(res.conf)
+        n_pass += int(np.asarray(res.success).sum())
+    dt = time.time() - t0
+
+    total = TIMED_BATCHES * B
+    reads_per_s = total / dt
+    print(
+        json.dumps(
+            {
+                "metric": "offline_demux_throughput",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 2),
+            }
+        )
+    )
+    print(
+        f"# backend={jax.default_backend()} batches={TIMED_BATCHES} B={B} "
+        f"pass={n_pass}/{total} elapsed={dt:.2f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

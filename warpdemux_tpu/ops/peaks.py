@@ -17,10 +17,14 @@ VPU busy.)
    index) — position p is a peak iff p == (s+e)//2 for its own run.
 2. distance suppression (scipy `_select_by_peak_distance`): peaks are visited
    from highest score to lowest; a still-kept peak suppresses every peak
-   strictly within `distance` samples. Identical to priority-greedy maximal
-   independent set; realized as a fori_loop picking the current
-   highest-scoring unprocessed peak by (reversed) argmax — ties therefore
-   visit the *later* position first.
+   strictly within `distance` samples. That greedy process equals the
+   priority-greedy maximal independent set of the peak-interval graph, which
+   we compute by parallel fixpoint rounds: every peak that is the highest
+   priority among still-alive peaks within its own distance window is a
+   *definite survivor*; survivors kill their neighborhoods; repeat until no
+   peaks remain undecided. Each round is a handful of statically-shifted
+   element-wise compares, and the round count is the depth of the domination
+   chains (a handful in practice) instead of the peak count.
 3. top-k by score via top_k on the reversed row (ties again prefer the later
    position, matching np.argsort(scores)[-k:]).
 
@@ -95,46 +99,70 @@ def suppress_by_distance(
     scores: jnp.ndarray,
     is_peak: jnp.ndarray,
     distance: jnp.ndarray,
+    max_distance: int,
 ) -> jnp.ndarray:
-    """scipy `_select_by_peak_distance` on position-space masks.
+    """scipy `_select_by_peak_distance` as a parallel priority-MIS fixpoint.
+
+    A peak p is killed iff some *surviving* peak q with higher priority lies
+    strictly within `distance` of it (priority = (score, position), later
+    position winning ties — see the module tie-order note). Rounds:
+
+      winner = alive peak with no higher-priority alive peak within distance
+      keep  |= winner;  alive -= winner + (alive within distance of a winner)
+
+    which reproduces the sequential greedy exactly (induction over priority
+    order). All neighborhood tests are static slices of a padded row, i.e.
+    pure fused element-wise ops on the VPU.
 
     Args:
       scores: (B, L) score curve.
       is_peak: (B, L) local-maxima mask.
       distance: (B,) per-row suppression distance (>= 1).
+      max_distance: static upper bound on distance values.
 
     Returns:
       keep: (B, L) bool mask of surviving peaks.
     """
     B, L = scores.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    W = max(int(max_distance), 1)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    dist_col = distance.astype(jnp.int32)[:, None]
+    d_col = distance.astype(jnp.int32)[:, None]
+    false_row = jnp.zeros((B, L), bool)
 
-    # Work entirely in REVERSED coordinates so ties in argmax (which prefers
-    # the first index) land on the LATER original position, and no per-
-    # iteration lane reversals (expensive TPU relayouts) are needed.
-    scores_r = scores[:, ::-1]
-    is_peak_r = is_peak[:, ::-1]
+    def round_fn(state):
+        alive, keep = state
+        s_alive = jnp.where(alive, scores, neg_inf)
+        spad = jnp.pad(
+            s_alive, ((0, 0), (W, W)), constant_values=-jnp.inf
+        )
+        dom = false_row
+        for o in range(1, W):
+            within = o < d_col
+            right = spad[:, W + o : W + o + L]  # neighbor at p + o
+            left = spad[:, W - o : W - o + L]  # neighbor at p - o
+            # later position wins ties -> right dominates on >=, left on >
+            dom = dom | (within & (right >= s_alive)) | (
+                within & (left > s_alive)
+            )
+        winner = alive & ~dom
+        keep = keep | winner
+        wpad = jnp.pad(winner, ((0, 0), (W, W)))
+        killed = false_row
+        for o in range(1, W):
+            within = o < d_col
+            killed = killed | (
+                within
+                & (wpad[:, W + o : W + o + L] | wpad[:, W - o : W - o + L])
+            )
+        alive = alive & ~winner & ~killed
+        return alive, keep
 
-    def body(_, state):
-        keep_r, processed_r = state
-        avail_r = is_peak_r & ~processed_r
-        m = jnp.where(avail_r, scores_r, neg_inf)
-        j = jnp.argmax(m, axis=1).astype(jnp.int32)  # (B,)
-        has = jnp.any(avail_r, axis=1)
-        onehot = (pos == j[:, None]) & has[:, None]
-        keep_j = jnp.any(keep_r & onehot, axis=1)
-        close = jnp.abs(pos - j[:, None]) < dist_col
-        keep_r = keep_r & ~(keep_j[:, None] & close & ~onehot)
-        processed_r = processed_r | onehot
-        return keep_r, processed_r
+    def cond(state):
+        alive, _ = state
+        return jnp.any(alive)
 
-    max_peaks = jnp.max(jnp.sum(is_peak, axis=1))
-    keep_r, _ = jax.lax.fori_loop(
-        0, max_peaks, body, (is_peak_r, jnp.zeros_like(is_peak_r))
-    )
-    return keep_r[:, ::-1]
+    _, keep = jax.lax.while_loop(cond, round_fn, (is_peak, false_row))
+    return keep
 
 
 def find_peaks_batch(
@@ -145,11 +173,15 @@ def find_peaks_batch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """scipy.signal.find_peaks(scores_row, distance=distance_row) per row.
 
+    max_distance: static bound on distance (defaults to 32, ample for the
+    reference's min_obs_per_base configs).
+
     Returns (keep_mask (B, L) bool, peak_count (B,) int32).
     """
-    del max_distance  # no longer needed by the mask formulation
     is_peak, _ = peak_mask_batch(scores, n_scores)
-    keep = suppress_by_distance(scores, is_peak, distance)
+    keep = suppress_by_distance(
+        scores, is_peak, distance, max_distance or 32
+    )
     return keep, jnp.sum(keep, axis=1).astype(jnp.int32)
 
 

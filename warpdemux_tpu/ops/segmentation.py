@@ -170,7 +170,8 @@ def segment_signal_batch(
     scores, n_scores = windowed_t_test(x, n_valid, w, running_stat_width)
 
     keep_mask, peak_count = find_peaks_batch(
-        scores, n_scores, jnp.maximum(min_obs, 1)
+        scores, n_scores, jnp.maximum(min_obs, 1),
+        max_distance=min_obs_per_base + 1,
     )
     sel_pos, ok = select_top_peaks(scores, keep_mask, peak_count, num_events)
     ok = ok & (min_obs >= 1) & (n_scores > 0)
