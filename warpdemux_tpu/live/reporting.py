@@ -1,0 +1,124 @@
+"""Live-run reporting: accept/reject counters, per-read CSV, latency stats.
+
+Capability parity with the reference's reporting worker
+(warpdemux/live_balancing/reporting.py): ProcessedCounters tracks
+Accept/Reject x {Classified, Unclassified, Failed, Noise} plus per-barcode
+accept/reject counts (:23-80); per-read rows append to
+barcode_balancing_<runid>.csv; end-of-run per-stage latency mean+/-std
+(:505-535).
+"""
+
+from __future__ import annotations
+
+import csv
+import threading
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+OUTCOMES = ("classified", "unclassified", "failed", "noise")
+
+
+class ProcessedCounters:
+    def __init__(self, num_bcs: int):
+        self.num_bcs = num_bcs
+        self.accept = {o: 0 for o in OUTCOMES}
+        self.reject = {o: 0 for o in OUTCOMES}
+        self.bc_accept = np.zeros(num_bcs, int)
+        self.bc_reject = np.zeros(num_bcs, int)
+        self._lock = threading.Lock()
+
+    def record(self, outcome: str, accepted: bool, barcode: int | None = None):
+        with self._lock:
+            (self.accept if accepted else self.reject)[outcome] += 1
+            if barcode is not None and 0 <= barcode < self.num_bcs:
+                if accepted:
+                    self.bc_accept[barcode] += 1
+                else:
+                    self.bc_reject[barcode] += 1
+
+    def summary(self) -> dict:
+        with self._lock:
+            return {
+                "accept": dict(self.accept),
+                "reject": dict(self.reject),
+                "bc_accept": self.bc_accept.tolist(),
+                "bc_reject": self.bc_reject.tolist(),
+            }
+
+
+class LiveReporter:
+    """Appends per-read decisions to CSV and aggregates latency stats."""
+
+    CSV_FIELDS = [
+        "time",
+        "channel",
+        "read_id",
+        "outcome",
+        "barcode",
+        "confidence",
+        "decision",
+        "balancer",
+        "chunk_len",
+    ]
+
+    def __init__(self, save_path: str | Path, run_id: str, num_bcs: int):
+        self.dir = Path(save_path)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.csv_path = self.dir / f"barcode_balancing_{run_id}.csv"
+        self.counters = ProcessedCounters(num_bcs)
+        self._lat = defaultdict(list)
+        self._lock = threading.Lock()
+        self._fh = open(self.csv_path, "w", newline="")
+        self._writer = csv.DictWriter(self._fh, fieldnames=self.CSV_FIELDS)
+        self._writer.writeheader()
+
+    def report_read(
+        self,
+        channel,
+        read_id,
+        outcome,
+        barcode,
+        confidence,
+        accepted,
+        balancer,
+        chunk_len,
+        time_per_step=None,
+    ):
+        self.counters.record(
+            outcome, accepted, barcode if outcome == "classified" else None
+        )
+        with self._lock:
+            self._writer.writerow(
+                {
+                    "time": f"{time.time():.3f}",
+                    "channel": channel,
+                    "read_id": read_id,
+                    "outcome": outcome,
+                    "barcode": barcode,
+                    "confidence": (
+                        f"{confidence:.3f}" if confidence is not None else ""
+                    ),
+                    "decision": "accept" if accepted else "reject",
+                    "balancer": balancer,
+                    "chunk_len": chunk_len,
+                }
+            )
+            if time_per_step:
+                for stage, dt in time_per_step.items():
+                    self._lat[stage].append(dt)
+
+    def latency_stats(self) -> dict:
+        with self._lock:
+            return {
+                stage: (float(np.mean(v)), float(np.std(v)))
+                for stage, v in self._lat.items()
+                if v
+            }
+
+    def close(self):
+        with self._lock:
+            self._fh.flush()
+            self._fh.close()

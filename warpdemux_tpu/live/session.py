@@ -1,0 +1,296 @@
+"""Live balancing session: the streaming classify-and-eject loop.
+
+Capability parity with the reference Session (warpdemux/live_balancing/
+session.py:127-435) re-shaped around a low-latency micro-batched inference
+lane:
+
+  client chunks -> gates (missed-start, too-long, streaming polyA detect,
+  real-range) -> fingerprint queue -> micro-batching classifier (the DTW+SVM
+  device step on a small padded batch) -> balancer decision -> unblock /
+  stop-receiving -> reporting.
+
+Differences from the reference by design: instead of per-read sklearn calls
+in 4 classification threads (worker.py:99-131), reads are micro-batched
+(drain up to `max_batch` within `batch_wait_s`) into one device dispatch —
+the single-read path is the degenerate batch of 1.
+
+`ChannelRepeatedUnblockDuration` escalates unblock durations for channels
+that keep re-triggering (session.py:61-124; defaults 0.1 -> 0.5 -> 2.0 s
+within 1.5 s windows).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from warpdemux_tpu.detect.streaming import (
+    StreamingConfig,
+    RealRangeConfig,
+    mean_var_shift_polya_detect,
+    real_range_check,
+)
+from warpdemux_tpu.live.balancer import BarcodeBalancers
+from warpdemux_tpu.live.reporting import LiveReporter
+
+
+@dataclass
+class ReadObject:
+    channel: int
+    read_id: str
+    read_number: int
+    signal: np.ndarray
+    polya_start: int
+    t_created: float = field(default_factory=time.time)
+    time_per_step: dict = field(default_factory=dict)
+    barcode: int = -1
+    confidence: float = 0.0
+    outcome: str = "failed"
+
+
+class ChannelRepeatedUnblockDuration:
+    """Escalating unblock durations for repeat offenders
+    (reference session.py:61-124)."""
+
+    def __init__(self, durations=(0.1, 0.5, 2.0), window_s: float = 1.5):
+        self.durations = durations
+        self.window_s = window_s
+        self._last: dict[int, tuple[float, int]] = {}
+        self._lock = threading.Lock()
+
+    def duration(self, channel: int) -> float:
+        now = time.time()
+        with self._lock:
+            t_last, level = self._last.get(channel, (0.0, -1))
+            level = level + 1 if now - t_last < self.window_s else 0
+            level = min(level, len(self.durations) - 1)
+            self._last[channel] = (now, level)
+            return self.durations[level]
+
+
+@dataclass
+class SessionConfig:
+    model_name: str = "WDX4_rna004_v1_0"
+    min_chunk_size: int = 1000
+    max_chunk_size: int = 12000
+    max_missed_start_offset: int = 400
+    max_signal_after_polya: int = 4000
+    pred_conf_threshold: float = 0.2
+    check_real_range: bool = True
+    max_batch: int = 32
+    batch_wait_s: float = 0.005
+    save_path: str = "results"
+    run_id: str = ""
+    streaming: StreamingConfig = field(default_factory=StreamingConfig)
+    real_range: RealRangeConfig = field(default_factory=RealRangeConfig)
+
+
+class Session:
+    """Drives a read-until-style client with barcode balancing."""
+
+    def __init__(self, client, config: SessionConfig, balancers: BarcodeBalancers,
+                 model=None, spc=None):
+        self.client = client
+        self.config = config
+        self.balancers = balancers
+        if model is None:
+            from warpdemux_tpu.models.registry import load_model
+
+            model = load_model(config.model_name)
+        if spc is None:
+            from warpdemux_tpu.config.utils import get_model_spc_config
+
+            spc = get_model_spc_config(config.model_name)
+        self.model = model
+        self.spc = spc
+        run_id = config.run_id or uuid.uuid4().hex[:8]
+        self.reporter = LiveReporter(config.save_path, run_id, model.n_classes)
+        self.crud = ChannelRepeatedUnblockDuration()
+        self.fpt_queue: queue.Queue = queue.Queue()
+        self.skip_stats = dict(
+            missed_obs=0, too_long_reads=0, not_real_read=0, no_polya_yet=0
+        )
+        self._stop = threading.Event()
+        self._idle = threading.Event()
+        self._classifier_thread = threading.Thread(
+            target=self._classify_loop, name="classifier"
+        )
+
+    # ---- fingerprinting (host, per accepted chunk) -----------------------
+    def _fingerprint(self, signal: np.ndarray) -> np.ndarray | None:
+        """Adapter signal -> 25-event fingerprint (host numpy, one read)."""
+        import jax.numpy as jnp
+
+        from warpdemux_tpu.ops.fingerprint import fingerprints_from_boundaries
+
+        fcfg = self.spc.fingerprint
+        L = signal.size
+        sig = jnp.asarray(signal[None, :].astype(np.float32))
+        res = fingerprints_from_boundaries(
+            sig,
+            jnp.asarray([L], np.int32),
+            jnp.asarray([0], np.int32),
+            jnp.asarray([L], np.int32),
+            fcfg,
+        )
+        if not bool(res.ok[0]):
+            return None
+        return np.asarray(res.fpt[0])
+
+    # ---- classification micro-batcher ------------------------------------
+    def _classify_loop(self):
+        cfg = self.config
+        while not self._stop.is_set():
+            batch: list[ReadObject] = []
+            try:
+                self._idle.set()
+                batch.append(self.fpt_queue.get(timeout=0.05))
+                self._idle.clear()
+            except queue.Empty:
+                continue
+            t_deadline = time.time() + cfg.batch_wait_s
+            while len(batch) < cfg.max_batch:
+                remaining = t_deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.fpt_queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._classify_batch(batch)
+
+    def _classify_batch(self, batch: list[ReadObject]):
+        cfg = self.config
+        fpts, kept = [], []
+        for ro in batch:
+            t0 = time.time()
+            fpt = self._fingerprint(ro.signal)
+            ro.time_per_step["segmentation"] = time.time() - t0
+            if fpt is None or not np.isfinite(fpt).all():
+                ro.outcome = "failed"
+                self._decide_and_act(ro, accepted=True)
+                continue
+            fpts.append(fpt)
+            kept.append(ro)
+        if not kept:
+            return
+        t0 = time.time()
+        pred, conf, probs = self.model.predict(np.stack(fpts))
+        dt = (time.time() - t0) / len(kept)
+        label_map = np.asarray(self.model.label_map)
+        for ro, p, c in zip(kept, pred, conf):
+            ro.time_per_step["classification"] = dt
+            ro.confidence = float(c)
+            if c < cfg.pred_conf_threshold:
+                ro.outcome = "unclassified"
+                ro.barcode = -1
+            elif int(p) == -1:
+                ro.outcome = "noise"
+                ro.barcode = -1
+            else:
+                ro.outcome = "classified"
+                # barcode index within the model's class list
+                ro.barcode = int(np.nonzero(label_map == int(p))[0][0])
+            self._decide_and_act(ro)
+
+    def _decide_and_act(self, ro: ReadObject, accepted: bool | None = None):
+        cfg = self.config
+        balancer = self.balancers.for_channel(ro.channel)
+        name = balancer.name if balancer else "-"
+        if accepted is None:
+            if ro.outcome == "classified" and balancer is not None:
+                accepted = balancer.decide(ro.barcode)
+                balancer.record_classified(ro.read_id, ro.barcode, accepted)
+            else:
+                accepted = True  # unclassified/noise/failed: keep sequencing
+        # too-late-to-reject suppression (reference worker.py:184-193)
+        if (
+            not accepted
+            and ro.signal.size - ro.polya_start > cfg.max_signal_after_polya
+        ):
+            accepted = True
+        if accepted:
+            self.client.stop_receiving_read(ro.channel, ro.read_number)
+        else:
+            self.client.unblock_read(
+                ro.channel, ro.read_number, self.crud.duration(ro.channel)
+            )
+        ro.time_per_step["total"] = time.time() - ro.t_created
+        self.reporter.report_read(
+            ro.channel,
+            ro.read_id,
+            ro.outcome,
+            ro.barcode if ro.outcome == "classified" else None,
+            ro.confidence,
+            accepted,
+            name,
+            ro.signal.size,
+            ro.time_per_step,
+        )
+
+    # ---- main loop -------------------------------------------------------
+    def run(self, batch_size: int = 64):
+        cfg = self.config
+        self._classifier_thread.start()
+        try:
+            while self.client.is_running:
+                chunks = self.client.get_read_chunks(
+                    batch_size=batch_size, min_chunk_length=cfg.min_chunk_size
+                )
+                if not chunks:
+                    time.sleep(0.005)
+                    continue
+                for channel, read in chunks:
+                    self._handle_chunk(channel, read)
+        finally:
+            self.shutdown()
+
+    def _handle_chunk(self, channel, read):
+        cfg = self.config
+        sig = read.signal
+        # missed-start gate: chunk began too far into the read
+        if read.chunk_start > cfg.max_missed_start_offset:
+            self.skip_stats["missed_obs"] += 1
+            self.client.stop_receiving_read(channel, read.read_number)
+            return
+        if sig.size > cfg.max_chunk_size:
+            self.skip_stats["too_long_reads"] += 1
+            self.client.stop_receiving_read(channel, read.read_number)
+            return
+        polya = mean_var_shift_polya_detect(sig, cfg.streaming)
+        if polya == 0:
+            self.skip_stats["no_polya_yet"] += 1
+            return  # keep accumulating
+        self.client.stop_receiving_read(channel, read.read_number)
+        if cfg.check_real_range and not real_range_check(
+            sig[:polya], cfg.real_range
+        ):
+            self.skip_stats["not_real_read"] += 1
+            return
+        pad = self.spc.fingerprint.padding
+        ro = ReadObject(
+            channel=channel,
+            read_id=read.read_id,
+            read_number=read.read_number,
+            signal=sig[: polya + pad],
+            polya_start=polya,
+        )
+        self.fpt_queue.put(ro)
+
+    def shutdown(self):
+        # drain the classification queue, then stop the worker cleanly (a
+        # live jax call in a dying thread at interpreter exit segfaults)
+        deadline = time.time() + 30.0
+        while time.time() < deadline:
+            if self.fpt_queue.empty() and self._idle.is_set():
+                break
+            time.sleep(0.05)
+        self._stop.set()
+        self._classifier_thread.join()
+        self.balancers.stop()
+        self.reporter.close()
