@@ -98,11 +98,12 @@ def _llr_refine(x, coarse, radius, lo, hi):
     Minimizes n1*log(var1) + n2*log(var2) over split positions; returns the
     refined boundary clamped to [lo, hi].
     """
+    from warpdemux_tpu.ops.window_gather import shift_rows_auto
+
     B, L = x.shape
     W = 2 * radius
     start = jnp.clip(coarse - radius, 0, jnp.maximum(L - W, 0))
-    idx = start[:, None] + jnp.arange(W)[None, :]
-    win = jnp.take_along_axis(x, jnp.minimum(idx, L - 1), axis=1)  # (B, W)
+    win = shift_rows_auto(x, start, W)  # (B, W)
     z = jnp.zeros((B, 1), x.dtype)
     c1 = jnp.concatenate([z, jnp.cumsum(win, axis=1)], axis=1)
     c2 = jnp.concatenate([z, jnp.cumsum(win * win, axis=1)], axis=1)
