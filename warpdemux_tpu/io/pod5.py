@@ -254,3 +254,71 @@ def yield_signal_batches(
             full_lengths[:i],
             read_ids[:i],
         )
+
+
+def yield_adc_batches(
+    pod5_files: Iterable[str | Path],
+    read_ids_incl: set[str] | None,
+    read_ids_excl: set[str] | None,
+    batch_size: int,
+    preload_size: int,
+) -> Generator[tuple, None, None]:
+    """ADC-domain minibatch preloading: the TPU-native feed format.
+
+    Same batching contract as yield_signal_batches, but signals stay in the
+    pod5-native int16 ADC domain with per-read calibration scalars, so the
+    host->device transfer is half the bytes and the (exact, f32)
+    pA conversion `(adc + offset) * scale` runs on device fused into the
+    detect stage. Yields (adc (N, m) int16, offset (N,) f32, scale (N,) f32,
+    in_lengths (N,) i32, full_lengths (N,) i32, read_ids (N,) object).
+    """
+    read_ids_incl = set(read_ids_incl or ())
+    read_ids_excl = set(read_ids_excl or ())
+    if read_ids_incl and read_ids_excl:
+        read_ids_incl = read_ids_incl - read_ids_excl
+        read_ids_excl = set()
+    selection = read_ids_incl or None
+
+    N, m = batch_size, preload_size
+    adc = np.zeros((N, m), np.int16)
+    offset = np.zeros(N, np.float32)
+    scale = np.zeros(N, np.float32)
+    full_lengths = np.empty(N, np.int32)
+    in_lengths = np.empty(N, np.int32)
+    read_ids = np.empty(N, object)
+    i = 0
+    for filename in pod5_files:
+        with Pod5Reader(filename) as reader:
+            for rec in reader.reads(selection=selection, missing_ok=True):
+                if rec.read_id in read_ids_excl:
+                    continue
+                sig = rec.signal_adc(m)
+                _m = min(m, sig.size)
+                full_lengths[i] = rec.num_samples
+                in_lengths[i] = _m
+                adc[i, :_m] = sig[:_m]
+                if _m < m:
+                    adc[i, _m:] = 0
+                offset[i] = rec.calibration_offset
+                scale[i] = rec.calibration_scale
+                read_ids[i] = rec.read_id
+                if i == N - 1:
+                    yield adc, offset, scale, in_lengths, full_lengths, read_ids
+                    adc = np.zeros((N, m), np.int16)
+                    offset = np.zeros(N, np.float32)
+                    scale = np.zeros(N, np.float32)
+                    full_lengths = np.empty(N, np.int32)
+                    in_lengths = np.empty(N, np.int32)
+                    read_ids = np.empty(N, object)
+                    i = 0
+                else:
+                    i += 1
+    if i > 0:
+        yield (
+            adc[:i],
+            offset[:i],
+            scale[:i],
+            in_lengths[:i],
+            full_lengths[:i],
+            read_ids[:i],
+        )

@@ -34,7 +34,7 @@ from warpdemux_tpu.ops.normalize import (
     masked_mad,
     normalize,
 )
-from warpdemux_tpu.ops.segmentation import segment_signal_batch
+from warpdemux_tpu.ops.segmentation import segment_means, segment_signal_batch
 
 
 @dataclass(frozen=True)
@@ -112,7 +112,7 @@ def fingerprints_from_boundaries(
     cfg: FingerprintConfig = FingerprintConfig(),
 ) -> FingerprintArrays:
     adapter, a_len = extract_adapter_batch(
-        signals.astype(jnp.float32),
+        signals,
         in_lens.astype(jnp.int32),
         adapter_start.astype(jnp.int32),
         adapter_end.astype(jnp.int32),
@@ -167,4 +167,170 @@ def fingerprints_from_boundaries(
         adapter_event_std=ev_std,
         adapter_event_med=ev_med,
         adapter_event_mad=ev_mad,
+    )
+
+
+class ConsensusFingerprintArrays(NamedTuple):
+    """FingerprintArrays + consensus-match fields (tRNA refinement path)."""
+
+    base: FingerprintArrays
+    outlier: jnp.ndarray  # (B,) bool: consensus query outlier
+    seg_query_start: jnp.ndarray  # (B,) int32, matched consensus segment
+    seg_query_end: jnp.ndarray  # (B,) int32 (inclusive event index)
+    sig_barcode_start: jnp.ndarray  # (B,) int32 sample index into adapter
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sx"))
+def fingerprints_consensus_refined(
+    signals: jnp.ndarray,
+    in_lens: jnp.ndarray,
+    adapter_start: jnp.ndarray,
+    adapter_end: jnp.ndarray,
+    consensus_query: jnp.ndarray,
+    cfg: FingerprintConfig,
+    sx,
+) -> ConsensusFingerprintArrays:
+    """Consensus-guided barcode-refined fingerprints (the tRNA path).
+
+    Reference contract (warpdemux/sig_proc.py:255-378 +
+    detect_results_to_fpt's refinement branch :452-521), batched:
+
+    1. segment the whole adapter into cfg.num_events events (per-read
+       adapted min_obs / width as usual),
+    2. subsequence-DTW match the mean-normalized consensus query into the
+       mean-normalized adapter event means (penalty/psi from config;
+       sig_proc.py:288-308),
+    3. sig_barcode_start = sum(adapter dwell times before the matched end
+       event) = segment boundary at the matched end (sig_proc.py:331),
+    4. re-run peak picking on the t-test scores restricted to positions
+       >= sig_barcode_start, keep the sx.barcode_seg_num_events highest
+       peaks, changepoints = peaks + cfg.running_stat_width (the *config*
+       width, not the adapted one — discrepenacy_curve_to_cpts is called
+       with the raw config values, sig_proc.py:356-362),
+    5. barcode event means between those changepoints, normalized w.r.t.
+       the adapter event statistics (normalize_wrt, sig_proc.py:482-484),
+    6. fingerprint = last cfg.barcode_num_events of them,
+    7. outlier gate: matched start > ub_start or matched (inclusive) end
+       outside [lb_end, ub_end] -> "consensus query outlier"
+       (sig_proc.py:500-521).
+
+    `sx` is a SegmentationExtra (hashable); `consensus_query` the
+    mean-normalized consensus event signal.
+    """
+    adapter, a_len = extract_adapter_batch(
+        signals,
+        in_lens.astype(jnp.int32),
+        adapter_start.astype(jnp.int32),
+        adapter_end.astype(jnp.int32),
+        cfg.padding,
+        cfg.buffer_len,
+    )
+    B, A = adapter.shape
+    amask = jnp.arange(A)[None, :] < a_len[:, None]
+
+    adapter = clip_outliers(adapter, amask, cfg.sig_norm_outlier_thresh)
+    adapter = jnp.where(amask, adapter, 0.0)
+    if cfg.extract_normalization != "none":
+        adapter = jnp.where(
+            amask, normalize(adapter, amask, cfg.extract_normalization), 0.0
+        )
+
+    means, dwell, seg_ok, scores, n_scores, boundaries = segment_signal_batch(
+        adapter,
+        a_len,
+        cfg.num_events,
+        cfg.min_obs_per_base,
+        cfg.running_stat_width,
+    )
+    E = means.shape[1]  # num_events + 1 adapter events
+    all_mask = jnp.ones((B, E), bool)
+
+    # adapter event statistics (also the normalize_wrt reference stats)
+    ev_mean, ev_std = masked_mean_std(means, all_mask)
+    norm_ok = ev_std > 0
+    norm_series = (means - ev_mean[:, None]) / jnp.where(
+        norm_ok, ev_std, 1.0
+    )[:, None]
+    dt_med = masked_median(dwell.astype(jnp.float32), all_mask)
+    dt_mad = masked_mad(dwell.astype(jnp.float32), all_mask, dt_med)
+    ev_med = masked_median(means, all_mask)
+    ev_mad = masked_mad(means, all_mask, ev_med)
+
+    from warpdemux_tpu.ops.subsequence import subsequence_dtw_batch
+
+    series_len = jnp.full(B, E, jnp.int32)
+    q_start, q_end_excl, _ = subsequence_dtw_batch(
+        consensus_query.astype(jnp.float32),
+        norm_series,
+        series_len,
+        penalty=float(sx.consensus_subseq_match_penalty),
+        psi=tuple(int(v) for v in sx.consensus_subseq_match_psi),
+    )
+    # dtaidistance's match end is the inclusive 0-based event index; our
+    # wavefront op returns the exclusive end (= inclusive + 1).
+    q_end = q_end_excl - 1
+    q_end_c = jnp.clip(q_end, 0, E)
+    # sum(dwell[:q_end]) == segment boundary at event q_end
+    sig_bc_start = jnp.take_along_axis(
+        boundaries, q_end_c[:, None], axis=1
+    )[:, 0]
+
+    # re-segment scores[sig_bc_start:] into barcode_seg_num_events events;
+    # distance and +width offset use the RAW config values
+    from warpdemux_tpu.ops.peaks import find_peaks_batch, select_top_peaks
+
+    dist_row = jnp.full(B, max(cfg.min_obs_per_base, 1), jnp.int32)
+    keep_mask, cnt = find_peaks_batch(
+        scores,
+        n_scores,
+        dist_row,
+        max_distance=cfg.min_obs_per_base + 1,
+        min_pos=sig_bc_start,
+    )
+    k_seg = int(sx.barcode_seg_num_events)
+    sel_pos, bc_ok = select_top_peaks(scores, keep_mask, cnt, k_seg)
+    # global changepoints: (local peak + cfg.width) + sig_bc_start == peak +
+    # cfg.width; last boundary = local "signal length" n_scores -
+    # sig_bc_start + 2*width mapped back to global
+    cpts = jnp.sort(sel_pos, axis=1) + jnp.int32(cfg.running_stat_width)
+    last = (n_scores + 2 * cfg.running_stat_width)[:, None]
+    bc_bounds = jnp.concatenate(
+        [sig_bc_start[:, None], cpts, last], axis=1
+    )  # (B, k_seg + 2)
+    bc_means = segment_means(adapter, bc_bounds, a_len)  # (B, k_seg + 1)
+    bc_dwell = bc_bounds[:, 1:] - bc_bounds[:, :-1]
+
+    # normalize_wrt(barcode, adapter, "mean"): scalar shift/scale from the
+    # adapter event stats (sig_proc.py:139-168)
+    norm_bc = (bc_means - ev_mean[:, None]) / jnp.where(
+        norm_ok, ev_std, 1.0
+    )[:, None]
+
+    k = cfg.barcode_num_events
+    fpt = norm_bc[:, -k:]
+    dwell_k = bc_dwell[:, -k:]
+
+    outlier = (
+        (q_start > sx.consensus_subseq_match_ub_start)
+        | (q_end < sx.consensus_subseq_match_lb_end)
+        | (q_end > sx.consensus_subseq_match_ub_end)
+    )
+    ok = seg_ok & bc_ok & norm_ok & ~outlier
+    base = FingerprintArrays(
+        ok=ok,
+        fpt=fpt,
+        dwell=dwell_k,
+        adapter_dt_med=dt_med,
+        adapter_dt_mad=dt_mad,
+        adapter_event_mean=ev_mean,
+        adapter_event_std=ev_std,
+        adapter_event_med=ev_med,
+        adapter_event_mad=ev_mad,
+    )
+    return ConsensusFingerprintArrays(
+        base=base,
+        outlier=outlier & seg_ok & norm_ok,
+        seg_query_start=q_start,
+        seg_query_end=q_end,
+        sig_barcode_start=sig_bc_start,
     )

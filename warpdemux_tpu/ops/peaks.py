@@ -45,12 +45,20 @@ _BIG = 2**30
 
 
 def peak_mask_batch(
-    scores: jnp.ndarray, n_scores: jnp.ndarray
+    scores: jnp.ndarray,
+    n_scores: jnp.ndarray,
+    min_pos: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Plateau-aware local-maxima mask per row.
 
     Args:
       scores: (B, L); n_scores: (B,) valid length per row.
+      min_pos: optional (B,) int32 slice origin. When given, peaks are the
+        local maxima of the *sliced* row scores[min_pos:n_scores] mapped back
+        to global positions: a plateau run qualifies iff its start s >=
+        min_pos + 1 (the slice's first element can never be a peak, matching
+        scipy on the sliced array; the tRNA consensus-refinement path
+        re-segments scores[sig_barcode_start:], reference sig_proc.py:330-362).
 
     Returns:
       is_peak: (B, L) bool mask at plateau midpoints.
@@ -92,6 +100,8 @@ def peak_mask_batch(
         & (e <= n_scores[:, None] - 2)
         & (pos == (s + e) // 2)
     )
+    if min_pos is not None:
+        is_peak = is_peak & (s >= (min_pos.astype(jnp.int32) + 1)[:, None])
     return is_peak, jnp.sum(is_peak, axis=1).astype(jnp.int32)
 
 
@@ -170,15 +180,18 @@ def find_peaks_batch(
     n_scores: jnp.ndarray,
     distance: jnp.ndarray,
     max_distance: int | None = None,
+    min_pos: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """scipy.signal.find_peaks(scores_row, distance=distance_row) per row.
 
     max_distance: static bound on distance (defaults to 32, ample for the
     reference's min_obs_per_base configs).
+    min_pos: optional (B,) slice origin — peaks of scores[min_pos:n_scores]
+    at global positions (see peak_mask_batch).
 
     Returns (keep_mask (B, L) bool, peak_count (B,) int32).
     """
-    is_peak, _ = peak_mask_batch(scores, n_scores)
+    is_peak, _ = peak_mask_batch(scores, n_scores, min_pos)
     keep = suppress_by_distance(
         scores, is_peak, distance, max_distance or 32
     )

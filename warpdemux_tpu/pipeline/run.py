@@ -190,6 +190,13 @@ def run_demux(config: Config, model=None) -> RunStats:
             ("adapter_event_mad", fptA.adapter_event_mad),
         ]:
             det_df[col] = np.asarray(arr)[:n]
+        if res.consensus is not None:
+            # tRNA refinement extras (reference ReadResult.to_summary_dict:
+            # seg_cons_query_start/end, sig_barcode_start; sig_proc.py:26-62)
+            cons = res.consensus
+            det_df["seg_cons_query_start"] = np.asarray(cons.seg_query_start)[:n]
+            det_df["seg_cons_query_end"] = np.asarray(cons.seg_query_end)[:n]
+            det_df["sig_barcode_start"] = np.asarray(cons.sig_barcode_start)[:n]
         det_df["fail_reason"] = fail_code_to_reason(fail_code)
 
         if config.output.save_boundaries:

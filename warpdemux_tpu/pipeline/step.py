@@ -24,7 +24,9 @@ import numpy as np
 from warpdemux_tpu.detect.boundaries import detect_boundaries_batch
 from warpdemux_tpu.detect.containers import DetectArrays
 from warpdemux_tpu.ops.fingerprint import (
+    ConsensusFingerprintArrays,
     FingerprintArrays,
+    fingerprints_consensus_refined,
     fingerprints_from_boundaries,
 )
 from warpdemux_tpu.ops import svm as svm_ops
@@ -39,6 +41,7 @@ class DemuxStepOutput(NamedTuple):
     pred: jnp.ndarray  # (B,) int32 barcode (-1 noise; only valid if success)
     conf: jnp.ndarray  # (B,)
     probs: jnp.ndarray  # (B, k)
+    consensus: ConsensusFingerprintArrays | None = None  # tRNA path only
 
 
 def make_demux_step(model, spc: SigProcConfig, with_predict: bool = True):
@@ -90,20 +93,48 @@ def make_demux_step(model, spc: SigProcConfig, with_predict: bool = True):
             return pred, conf, probs
 
     @jax.jit
-    def merge_fail(det_fail, fpt_ok):
+    def merge_fail(det_fail, fpt_ok, outlier):
+        # detect failures win; then "consensus query outlier" (13); any other
+        # fingerprint failure is "event segmentation failed" (10)
         fail = jnp.where(
-            (det_fail == 0) & ~fpt_ok, jnp.int32(10), det_fail
-        )  # event segmentation failed
+            (det_fail == 0) & outlier,
+            jnp.int32(13),
+            jnp.where((det_fail == 0) & ~fpt_ok, jnp.int32(10), det_fail),
+        )
         return fail, fail == 0
+
+    refine = spc.seg_extra.consensus_refinement
+    if refine:
+        from warpdemux_tpu.models.consensus_data import CONSENSUS
+
+        query = jnp.asarray(
+            CONSENSUS[spc.seg_extra.consensus_model], jnp.float32
+        )
+        seg_extra = spc.seg_extra
 
     def step(signals, in_lens):
         signals = jnp.asarray(signals, jnp.float32)
         in_lens = jnp.asarray(in_lens, jnp.int32)
         det = detect_boundaries_batch(signals, in_lens, dcfg)
-        fpt = fingerprints_from_boundaries(
-            signals, in_lens, det.adapter_start, det.adapter_end, fcfg
-        )
-        fail, success = merge_fail(det.fail_code, fpt.ok)
+        if refine:
+            cons = fingerprints_consensus_refined(
+                signals,
+                in_lens,
+                det.adapter_start,
+                det.adapter_end,
+                query,
+                fcfg,
+                seg_extra,
+            )
+            fpt = cons.base
+            outlier = cons.outlier
+        else:
+            cons = None
+            fpt = fingerprints_from_boundaries(
+                signals, in_lens, det.adapter_start, det.adapter_end, fcfg
+            )
+            outlier = jnp.zeros(signals.shape[0], bool)
+        fail, success = merge_fail(det.fail_code, fpt.ok, outlier)
 
         if with_predict and model is not None:
             pred, conf, probs = classify(fpt.fpt, success)
@@ -121,6 +152,7 @@ def make_demux_step(model, spc: SigProcConfig, with_predict: bool = True):
             pred=pred,
             conf=conf,
             probs=probs,
+            consensus=cons,
         )
 
     return step
