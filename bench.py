@@ -1,17 +1,21 @@
 """End-to-end demux throughput benchmark (one JSON line on stdout).
 
 Measures the full per-minibatch path on the default backend (the real TPU
-chip under the driver): host minibatch -> device (detect -> fingerprint ->
-DTW -> SVM) -> predictions fetched to host. Synthetic RNA004-style squiggles
-with known structure stand in for pod5 decode (which is host-side and
-overlapped by the producer thread in production runs).
+chip under the driver): pod5-native int16 ADC minibatches are transferred
+to the device by a producer thread (overlapping compute, exactly like
+pipeline/run.py), calibrated on device, then detect -> fingerprint -> DTW
+(Pallas) -> SVM -> predictions fetched to host. Synthetic RNA004-style
+squiggles with known structure stand in for pod5 decode (host-side, cheap,
+and overlapped by the producer in production runs).
 
 Baseline: the reference demuxes ~100k reads in 2-3 min on 8 CPU cores
 (~700 reads/s mid-range; README.md:375, BASELINE.md).
 """
 
 import json
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
@@ -22,10 +26,13 @@ B = 1000  # minibatch size (reference default)
 L = 10000  # preload size
 WARM_BATCHES = 1
 TIMED_BATCHES = 8
+ADC_SCALE = np.float32(0.1755)  # typical RNA004 calibration
+ADC_OFFSET = np.float32(-240.0)
 
 
 def synth_minibatch(rng, B, L):
-    """Event-structured adapter + flat polyA + RNA, vectorized."""
+    """Event-structured adapter + flat polyA + RNA, vectorized; returned in
+    the pod5-native int16 ADC domain."""
     n_ev = L // 25
     adapter_levels = rng.normal(78.0, 11.0, size=(B, n_ev)).astype(np.float32)
     sig = np.repeat(adapter_levels, 25, axis=1)[:, :L]
@@ -41,7 +48,12 @@ def synth_minibatch(rng, B, L):
     sig = np.where(in_pa, 104.0, sig)
     sig = np.where(in_rna, rna_levels, sig)
     sig += rng.normal(0, 1.8, size=(B, L)).astype(np.float32)
-    return sig.astype(np.float32), np.full(B, L, np.int32)
+    adc = np.clip(np.rint(sig / ADC_SCALE - ADC_OFFSET), -32768, 32767).astype(
+        np.int16
+    )
+    offset = np.full(B, ADC_OFFSET, np.float32)
+    scale = np.full(B, ADC_SCALE, np.float32)
+    return adc, offset, scale, np.full(B, L, np.int32)
 
 
 def main():
@@ -54,19 +66,32 @@ def main():
     rng = np.random.default_rng(0)
     model = load_model(MODEL)
     spc = get_model_spc_config(MODEL)
-    step = make_demux_step(model, spc)
+    step = make_demux_step(model, spc, input_format="adc")
 
     batches = [synth_minibatch(rng, B, L) for _ in range(WARM_BATCHES + TIMED_BATCHES)]
 
-    # warmup / compile
-    for sigs, lens in batches[:WARM_BATCHES]:
-        res = step(sigs, lens)
+    # warmup / compile (also transfers the first batch)
+    for batch in batches[:WARM_BATCHES]:
+        res = step(*batch)
         np.asarray(res.pred)
 
+    # producer thread device_puts batches ahead of the compute loop — the
+    # same overlap structure as pipeline/run.py's preloader
+    feed: queue.Queue = queue.Queue(maxsize=4)
+
+    def producer():
+        for batch in batches[WARM_BATCHES:]:
+            feed.put(tuple(jax.device_put(a) for a in batch))
+        feed.put(None)
+
     t0 = time.time()
+    threading.Thread(target=producer, daemon=True).start()
     n_pass = 0
-    for sigs, lens in batches[WARM_BATCHES:]:
-        res = step(sigs, lens)
+    while True:
+        item = feed.get()
+        if item is None:
+            break
+        res = step(*item)
         pred = np.asarray(res.pred)  # host fetch closes the loop
         conf = np.asarray(res.conf)
         n_pass += int(np.asarray(res.success).sum())

@@ -44,8 +44,21 @@ class DemuxStepOutput(NamedTuple):
     consensus: ConsensusFingerprintArrays | None = None  # tRNA path only
 
 
-def make_demux_step(model, spc: SigProcConfig, with_predict: bool = True):
-    """Build the (signals (B, L), in_lens (B,)) -> DemuxStepOutput function.
+def make_demux_step(
+    model,
+    spc: SigProcConfig,
+    with_predict: bool = True,
+    input_format: str = "pa",
+):
+    """Build the demux step function.
+
+    input_format:
+      "pa":  step(signals (B, L) f32 picoamps, in_lens (B,))
+      "adc": step(adc (B, L) int16, offset (B,) f32, scale (B,) f32,
+             in_lens (B,)) — the TPU-native feed: raw pod5 ADC counts cross
+             the host->device link (half the bytes of f32) and the exact
+             calibration (adc + offset) * scale runs on device, fused into
+             the detect dispatch.
 
     `model` is a DTWSVMModel (or None for prep-only runs).
 
@@ -112,10 +125,30 @@ def make_demux_step(model, spc: SigProcConfig, with_predict: bool = True):
         )
         seg_extra = spc.seg_extra
 
-    def step(signals, in_lens):
-        signals = jnp.asarray(signals, jnp.float32)
-        in_lens = jnp.asarray(in_lens, jnp.int32)
-        det = detect_boundaries_batch(signals, in_lens, dcfg)
+    if input_format == "adc":
+
+        @jax.jit
+        def calibrate_and_detect(adc, offset, scale, in_lens):
+            signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
+                :, None
+            ]
+            return detect_boundaries_batch(signals, in_lens, dcfg), signals
+
+    def step(*args):
+        if input_format == "adc":
+            adc, offset, scale, in_lens = args
+            in_lens = jnp.asarray(in_lens, jnp.int32)
+            det, signals = calibrate_and_detect(
+                jnp.asarray(adc, jnp.int16),
+                jnp.asarray(offset, jnp.float32),
+                jnp.asarray(scale, jnp.float32),
+                in_lens,
+            )
+        else:
+            signals, in_lens = args
+            signals = jnp.asarray(signals, jnp.float32)
+            in_lens = jnp.asarray(in_lens, jnp.int32)
+            det = detect_boundaries_batch(signals, in_lens, dcfg)
         if refine:
             cons = fingerprints_consensus_refined(
                 signals,
