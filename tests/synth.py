@@ -1,63 +1,8 @@
-"""Synthetic RNA004-style squiggle generator with known ground-truth
-boundaries — used by detect/pipeline tests and CNN training."""
+"""Shim: the synthetic squiggle generator lives in the package so the CNN
+trainer (tools/train_cnn.py) and tests share one implementation."""
 
-import numpy as np
-
-
-def synth_read(
-    rng,
-    adapter_len=4000,
-    polya_len=2000,
-    rna_len=8000,
-    adapter_level=75.0,
-    polya_level=105.0,
-    rna_level=95.0,
-    open_pore_len=0,
-    event_len=(15, 60),
-    noise=1.8,
-    adapter_spread=12.0,
-):
-    """Returns (signal_pa f32, truth dict)."""
-    parts = []
-    if open_pore_len:
-        parts.append(np.full(open_pore_len, 220.0) + rng.normal(0, 2, open_pore_len))
-    def events(total, level, spread):
-        seg = []
-        while sum(map(len, seg)) < total:
-            seg.append(np.full(rng.integers(*event_len), level + rng.normal(0, spread)))
-        return np.concatenate(seg)[:total] if seg else np.zeros(0)
-
-    # adapter: event-structured, wide level range (high variance region)
-    if adapter_len:
-        parts.append(events(adapter_len, adapter_level, adapter_spread))
-    # polyA: flat elevated
-    if polya_len:
-        parts.append(np.full(polya_len, polya_level) + rng.normal(0, 1.0, polya_len))
-    # RNA: event-structured around rna_level
-    if rna_len:
-        parts.append(events(rna_len, rna_level, 14))
-    sig = np.concatenate(parts).astype(np.float32)
-    sig += rng.normal(0, noise, sig.size).astype(np.float32)
-    a0 = open_pore_len
-    truth = dict(
-        adapter_start=a0,
-        adapter_end=a0 + adapter_len,
-        polya_start=a0 + adapter_len,
-        polya_end=a0 + adapter_len + polya_len,
-    )
-    return sig, truth
-
-
-def synth_batch(rng, B, L=10000, **kw):
-    sigs = np.zeros((B, L), np.float32)
-    lens = np.zeros(B, np.int32)
-    truths = []
-    for b in range(B):
-        adapter_len = int(rng.integers(2500, 5500))
-        polya_len = int(rng.integers(500, 3000))
-        sig, truth = synth_read(rng, adapter_len=adapter_len, polya_len=polya_len, **kw)
-        n = min(L, sig.size)
-        sigs[b, :n] = sig[:n]
-        lens[b] = n
-        truths.append(truth)
-    return sigs, lens, truths
+from warpdemux_tpu.utils.synthetic import (  # noqa: F401
+    synth_batch,
+    synth_read,
+    synth_trna_read,
+)

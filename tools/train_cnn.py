@@ -1,0 +1,147 @@
+"""Train the CNN boundary-proposal network on synthetic RNA004 squiggles.
+
+The reference ships torch CNN weights inside its (absent) ADAPTed
+submodule; this trainer produces our own weights for
+warpdemux_tpu/detect/cnn.py from the synthetic generator with known
+ground-truth boundaries. Per-position 3-class labels on the downscaled
+grid: 0=adapter, 1=polyA, 2=RNA (positions past the read end are masked
+out of the loss).
+
+Usage:  python tools/train_cnn.py [--steps 400] [--out NAME]
+Writes  warpdemux_tpu/detect/cnn_files/<NAME>.npz
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from warpdemux_tpu.detect import cnn
+from warpdemux_tpu.utils.synthetic import synth_read
+
+DS = 10
+L = 10000
+
+
+def make_batch(rng, B):
+    """Varied synthetic reads + per-ds-position labels (-1 = masked)."""
+    sigs = np.zeros((B, L), np.float32)
+    lens = np.zeros(B, np.int32)
+    labels = np.full((B, L // DS), -1, np.int32)
+    for b in range(B):
+        has_polya = rng.random() < 0.8
+        adapter_len = int(rng.integers(2200, 5800))
+        polya_len = int(rng.integers(600, 3200)) if has_polya else 0
+        open_pore = int(rng.integers(0, 300)) if rng.random() < 0.2 else 0
+        adapter_level = float(rng.normal(75, 6))
+        polya_level = adapter_level * float(rng.uniform(1.32, 1.55))
+        rna_level = adapter_level * float(rng.uniform(1.1, 1.45))
+        sig, truth = synth_read(
+            rng,
+            adapter_len=adapter_len,
+            polya_len=polya_len,
+            rna_len=int(rng.integers(2000, 9000)),
+            adapter_level=adapter_level,
+            polya_level=polya_level,
+            rna_level=rna_level,
+            open_pore_len=open_pore,
+            noise=float(rng.uniform(1.2, 2.6)),
+            adapter_spread=float(rng.uniform(8, 14)),
+        )
+        n = min(L, sig.size)
+        sigs[b, :n] = sig[:n]
+        lens[b] = n
+        g = np.arange(L // DS) * DS
+        lab = np.where(
+            g < truth["polya_start"],
+            0,
+            np.where(g < truth["polya_end"], 1, 2),
+        )
+        if not has_polya:
+            lab = np.where(g < truth["adapter_end"], 0, 2)
+        lab[g >= n] = -1
+        labels[b] = lab
+    return sigs, lens, labels
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="rna004_cnn_synth_v1")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    params = cnn.init_params(rng)
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def loss_fn(params, x, lens, labels):
+        xn, _valid = cnn.preprocess(x, lens, DS)
+        logits = cnn.apply(params, xn)
+        mask = labels >= 0
+        lab = jnp.maximum(labels, 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, lab)
+        acc = jnp.sum(
+            jnp.where(mask & (jnp.argmax(logits, -1) == lab), 1.0, 0.0)
+        ) / jnp.maximum(jnp.sum(mask), 1)
+        return jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.maximum(
+            jnp.sum(mask), 1
+        ), acc
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    @jax.jit
+    def update(params, opt_state, x, lens, labels):
+        (loss, acc), grads = grad_fn(params, x, lens, labels)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, acc
+
+    for step in range(args.steps):
+        sigs, lens, labels = make_batch(rng, args.batch)
+        params, opt_state, loss, acc = update(
+            params, opt_state, jnp.asarray(sigs), jnp.asarray(lens),
+            jnp.asarray(labels),
+        )
+        if step % 50 == 0 or step == args.steps - 1:
+            print(f"step {step}: loss {float(loss):.4f} acc {float(acc):.4f}")
+
+    out = cnn.CNN_DIR / f"{args.out}.npz"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    cnn.save_params(params, out)
+    print(f"saved {out}")
+
+    # quick candidate-quality eval
+    sigs, lens, labels = make_batch(rng, 64)
+    xn, valid = cnn.preprocess(jnp.asarray(sigs), jnp.asarray(lens), DS)
+    logits = cnn.apply(params, xn)
+    starts, lens_k = cnn.polya_candidates_from_logits(logits, valid, 5)
+    has_pa = np.array([(l == 1).any() for l in np.asarray(labels)])
+    true_start = np.array(
+        [
+            int(np.argmax(l == 1)) if h else -1
+            for l, h in zip(np.asarray(labels), has_pa)
+        ]
+    )
+    top = np.asarray(starts)[:, 0]
+    err = np.abs(top - true_start)[has_pa]
+    print(
+        f"eval: polyA reads {has_pa.sum()}/64, top-candidate start err "
+        f"median {np.median(err):.1f} ds (p90 {np.percentile(err, 90):.1f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

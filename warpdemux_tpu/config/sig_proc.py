@@ -65,8 +65,17 @@ class SigProcConfig:
                 return default
             return tuple(float(x) for x in v)
 
+        # primary method: mirrors the reference's update_primary_method()
+        if bool(cnn.get("cnn_detect", False)):
+            primary = "cnn"
+        elif bool(sp.get("detect_rna_start_peak", False)):
+            primary = "start_peak"
+        else:
+            primary = "llr"
+
         scale_rng = mvs.get("pA_mean_adapter_med_scale_range")
         detect = DetectConfig(
+            method=primary,
             max_obs_trace=int(core.get("max_obs_trace", 10000)),
             min_obs_adapter=int(core.get("min_obs_adapter", 2000)),
             max_obs_adapter=int(core.get("max_obs_adapter", 6000)),
@@ -95,6 +104,23 @@ class SigProcConfig:
             med_shift_window=int(ms.get("med_shift_window", 10000)),
             med_shift_min=float(
                 rng(ms.get("med_shift_range"), (5.0, float("inf")))[0]
+            ),
+            start_peak_max_idx=int(sp.get("start_peak_max_idx", 150)),
+            sp_offset1=int(sp.get("offset1", 10)),
+            sp_offset2=int(sp.get("offset2", 100)),
+            min_start_peak_pa=float(sp.get("min_start_peak_pa", 83.0)),
+            sp_polya_scale=float(
+                sp.get("adapter_med_polya_mean_scale", 1.3)
+            ),
+            min_len_polya=int(sp.get("min_len_polya", 10)),
+            sp_detect_polya=bool(sp.get("detect_polya", True)),
+            cnn_polya_cand_k=int(cnn.get("polya_cand_k", 5)),
+            fallback_to_llr=bool(
+                cnn.get("fallback_to_llr", True)
+                if primary == "cnn"
+                else sp.get("fallback_to_llr", False)
+                if primary == "start_peak"
+                else False
             ),
         )
 
@@ -146,20 +172,14 @@ class SigProcConfig:
             barcode_seg_num_events=barcode_seg_num_events,
         )
 
-        # primary method: mirrors the reference's update_primary_method()
-        if bool(cnn.get("cnn_detect", False)):
-            primary = "cnn"
-        elif bool(sp.get("detect_rna_start_peak", False)):
-            primary = "start_peak"
-        else:
-            primary = "llr"
-
         return cls(
             detect=detect,
             fingerprint=fingerprint,
             seg_extra=seg_extra,
             primary_method=primary,
             sig_preload_size=detect.max_obs_trace,
-            cnn_model_name=str(cnn.get("model_name", "")),
+            cnn_model_name=str(
+                cnn.get("model_name", "rna004_cnn_synth_v1")
+            ),
             cnn_polya_cand_k=int(cnn.get("polya_cand_k", 5)),
         )

@@ -42,6 +42,9 @@ from warpdemux_tpu.ops.normalize import masked_median, masked_mad, masked_mean_s
 
 @dataclass(frozen=True)
 class DetectConfig:
+    # primary method: "llr" | "start_peak" | "cnn" (reference
+    # spc.primary_method; parser.py:514 update_primary_method)
+    method: str = "llr"
     # [core]
     max_obs_trace: int = 10000
     min_obs_adapter: int = 2000
@@ -68,6 +71,22 @@ class DetectConfig:
     detect_med_shift: bool = False
     med_shift_window: int = 10000
     med_shift_min: float = 5.0
+    # [rna_start_peak] (tRNA primary; reconstruction of the ADAPTed
+    # contract from rna004_130bps@v1.0_tRNA.toml:66-81 — the submodule
+    # source is not in the reference checkout)
+    start_peak_max_idx: int = 150  # ds units: capture spike search range
+    sp_offset1: int = 10  # ds units past the spike -> adapter start
+    sp_offset2: int = 100  # ds units past the spike -> earliest polyA/end
+    min_start_peak_pa: float = 83.0
+    sp_polya_scale: float = 1.3  # adapter_med_polya_mean_scale
+    min_len_polya: int = 10  # ds units: required sustained polyA run
+    sp_detect_polya: bool = True
+    # [cnn_boundaries]
+    cnn_polya_cand_k: int = 5
+    # fallback chain (README.md:336-349: cnn_boundaries.fallback_to_llr /
+    # rna_start_peak.fallback_to_llr): reads the primary method fails are
+    # re-detected with the LLR method
+    fallback_to_llr: bool = False
 
 
 def _rolling_mean_var_fwd(x, w):
@@ -120,6 +139,44 @@ def _llr_refine(x, coarse, radius, lo, hi):
     return jnp.clip(start + split, lo, hi)
 
 
+def _llr_split_window(x, start, W, min_split, n_valid):
+    """Two-segment Gaussian split of the fixed window [start, start+W).
+
+    Like _llr_refine but with a lower bound on the split position and
+    validity masking for rows whose window extends past n_valid. Returns the
+    split as an absolute sample index.
+    """
+    from warpdemux_tpu.ops.window_gather import shift_rows_auto
+
+    B, L = x.shape
+    start = jnp.clip(start, 0, jnp.maximum(L - 1, 0))
+    win = shift_rows_auto(
+        jnp.concatenate([x, jnp.zeros((B, W), x.dtype)], axis=1), start, W
+    )
+    z = jnp.zeros((B, 1), x.dtype)
+    c1 = jnp.concatenate([z, jnp.cumsum(win, axis=1)], axis=1)
+    c2 = jnp.concatenate([z, jnp.cumsum(win * win, axis=1)], axis=1)
+    # effective window length: never reach past n_valid (the padding past
+    # the read end must not enter the segment statistics)
+    weff = jnp.clip(n_valid - start, 1, W)  # (B,)
+    t = jnp.arange(1, W, dtype=x.dtype)
+    n1 = t[None, :]
+    n2 = jnp.maximum(weff.astype(x.dtype)[:, None] - n1, 1.0)
+    s1, s2 = c1[:, 1:W], c2[:, 1:W]
+    v1 = jnp.maximum(s2 / n1 - (s1 / n1) ** 2, 1e-6)
+    cT1 = jnp.take_along_axis(c1, weff[:, None], axis=1)
+    cT2 = jnp.take_along_axis(c2, weff[:, None], axis=1)
+    sT1 = cT1 - s1
+    sT2 = cT2 - s2
+    v2 = jnp.maximum(sT2 / n2 - (sT1 / n2) ** 2, 1e-6)
+    cost = n1 * jnp.log(v1) + n2 * jnp.log(v2)
+    tpos = jnp.arange(1, W, dtype=jnp.int32)[None, :]
+    ok = (tpos >= min_split[:, None]) & (tpos < weff[:, None])
+    cost = jnp.where(ok, cost, jnp.inf)
+    split = jnp.argmin(cost, axis=1).astype(jnp.int32) + 1
+    return jnp.clip(start + split, 0, n_valid)
+
+
 def _region_stats(x, pos, start, end):
     mask = (pos >= start[:, None]) & (pos < end[:, None])
     mean, std = masked_mean_std(x, mask)
@@ -135,6 +192,7 @@ def detect_boundaries_batch(
     signals: jnp.ndarray,
     in_lens: jnp.ndarray,
     cfg: DetectConfig = DetectConfig(),
+    cnn_params: dict | None = None,
 ) -> DetectArrays:
     """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch."""
     x = signals.astype(jnp.float32)
@@ -147,55 +205,203 @@ def detect_boundaries_batch(
     mean_f, var_f = _rolling_mean_var_fwd(xz, cfg.mean_window)
     _, var_w = _rolling_mean_var_fwd(xz, cfg.var_window)
 
-    # adapter level proxy: median of the first min_obs_adapter valid samples
-    ad_proxy_mask = valid & (pos < cfg.min_obs_adapter)
-    adapter_proxy_med = masked_median(x, ad_proxy_mask)
+    sp_fail = jnp.zeros(B, bool)  # "rna start peak not found"
 
-    # poly(A) candidates: elevated + flat + fully inside the valid region
-    thr = cfg.polya_scale * adapter_proxy_med[:, None]
-    win_ok = (pos + cfg.min_obs_polya) <= in_lens[:, None]
-    cand = (mean_f > thr) & (var_w < cfg.polya_var_max) & valid & win_ok
+    if cfg.method == "start_peak":
+        # ---- [rna_start_peak] primary (tRNA): anchor the adapter start on
+        # the capture spike at the head of the read, then (optionally)
+        # locate a short polyA; without one, place the adapter->RNA
+        # boundary with a two-segment Gaussian split.
+        ds = cfg.downscale_factor
+        Lds = L // ds
+        xds = jnp.mean(xz[:, : Lds * ds].reshape(B, Lds, ds), axis=2)
+        pds = jax.lax.broadcasted_iota(jnp.int32, (B, Lds), 1)
+        left = jnp.concatenate([xds[:, :1], xds[:, :-1]], axis=1)
+        right = jnp.concatenate([xds[:, 1:], xds[:, -1:]], axis=1)
+        is_pk = (
+            (xds >= left)
+            & (xds > right)
+            & (xds >= cfg.min_start_peak_pa)
+            & (xds < cfg.open_pore_pa)
+            & (pds >= 1)
+            & (pds < cfg.start_peak_max_idx)
+            & ((pds + 1) * ds <= in_lens[:, None])
+        )
+        pk_idx, pk_found = _first_true(is_pk, jnp.int32(0))
+        sp_fail = ~pk_found
+        adapter_start = jnp.minimum((pk_idx + cfg.sp_offset1) * ds, in_lens)
 
-    # sustained for min_obs_polya samples
-    z = jnp.zeros((B, 1), jnp.int32)
-    cc = jnp.concatenate([z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1)
-    W = cfg.min_obs_polya
-    idx_hi = jnp.minimum(jnp.arange(L) + W, L)
-    run_sum = cc[:, idx_hi] - cc[:, :L]
-    sustained = (run_sum == W) & cand
+        # adapter level from the window right after the start
+        ad_proxy_mask = (
+            valid
+            & (pos >= adapter_start[:, None])
+            & (pos < adapter_start[:, None] + cfg.min_obs_adapter)
+        )
+        adapter_proxy_med = masked_median(x, ad_proxy_mask)
 
-    coarse_ps, found = _first_true(sustained, jnp.int32(0))
+        search_from = (pk_idx + cfg.sp_offset2) * ds
+        thr = cfg.sp_polya_scale * adapter_proxy_med[:, None]
+        Wp = cfg.min_len_polya * ds
+        win_ok = (pos + Wp) <= in_lens[:, None]
+        cand = (
+            (mean_f > thr)
+            & (var_w < cfg.polya_var_max)
+            & valid
+            & win_ok
+            & (pos >= search_from[:, None])
+        )
+        z = jnp.zeros((B, 1), jnp.int32)
+        cc = jnp.concatenate(
+            [z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1
+        )
+        idx_hi = jnp.minimum(jnp.arange(L) + Wp, L)
+        run_sum = cc[:, idx_hi] - cc[:, :L]
+        sustained = (run_sum == Wp) & cand
+        coarse_ps, found = _first_true(sustained, jnp.int32(0))
+        sust_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), sustained[:, :-1]], axis=1
+        )
+        polya_candidates = jnp.sum(sustained & ~sust_prev, axis=1).astype(
+            jnp.int32
+        )
 
-    # count distinct sustained runs (polya_candidates column)
-    sust_prev = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), sustained[:, :-1]], axis=1
-    )
-    run_starts = sustained & ~sust_prev
-    polya_candidates = jnp.sum(run_starts, axis=1).astype(jnp.int32)
+        flat_high = (mean_f > thr) & (var_f <= cfg.polya_var_max) & valid
+        lapse = (~flat_high) & (pos >= coarse_ps[:, None] + Wp)
+        coarse_pe, has_end = _first_true(lapse, jnp.int32(0))
+        coarse_pe = jnp.where(has_end, coarse_pe, in_lens)
+        coarse_pe = jnp.minimum(coarse_pe + cfg.mean_window // 2, in_lens)
 
-    # poly(A) end: first position >= coarse_ps where the region stops being
-    # both elevated and flat (variance catches RNA starts whose level is
-    # close to the threshold; the LLR refinement then pins the sample).
-    flat_high = (mean_f > thr) & (var_f <= cfg.polya_var_max) & valid
-    lapse = (~flat_high) & (pos >= coarse_ps[:, None] + W)
-    coarse_pe, has_end = _first_true(lapse, jnp.int32(0))
-    coarse_pe = jnp.where(has_end, coarse_pe, in_lens)
-    coarse_pe = jnp.minimum(coarse_pe + cfg.mean_window // 2, in_lens)
+        polya_start = _llr_refine(
+            xz, coarse_ps, cfg.llr_refine_window, jnp.int32(0), in_lens
+        )
+        polya_end = _llr_refine(
+            xz, coarse_pe, cfg.llr_refine_window, polya_start, in_lens
+        )
 
-    # LLR sample-precision refinement of both boundaries
-    polya_start = _llr_refine(
-        xz, coarse_ps, cfg.llr_refine_window, jnp.int32(0), in_lens
-    )
-    polya_end = _llr_refine(
-        xz, coarse_pe, cfg.llr_refine_window, polya_start, in_lens
-    )
-    polya_start = jnp.where(found, polya_start, 0)
-    polya_end = jnp.where(found, polya_end, 0)
+        # no polyA (plain tRNA): adapter ends at the strongest two-segment
+        # changepoint within the allowed adapter-length window
+        split_end = _llr_split_window(
+            xz,
+            adapter_start,
+            cfg.max_obs_adapter,
+            jnp.full(B, cfg.min_obs_adapter, jnp.int32),
+            in_lens,
+        )
+        adapter_end = jnp.where(
+            found & cfg.sp_detect_polya, polya_start, split_end
+        )
+        polya_start = jnp.where(found, polya_start, adapter_end)
+        polya_end = jnp.where(found, polya_end, adapter_end)
+        # a missing polyA is not a failure in this method (tRNA reads often
+        # have none); `found` only selects the boundary source
+        found = jnp.ones(B, bool)
+    elif cfg.method == "cnn":
+        # ---- [cnn_boundaries] primary (mRNA): the CNN proposes polyA runs,
+        # the top polya_cand_k candidates are validated against the
+        # elevated+flat contract, the first (longest) valid one is refined
+        from warpdemux_tpu.detect import cnn as cnn_mod
 
-    # adapter start: first sub-open-pore sample (usually 0)
-    below_pore, _ = _first_true((mean_f < cfg.open_pore_pa) & valid, jnp.int32(0))
-    adapter_start = below_pore
-    adapter_end = polya_start
+        if cnn_params is None:
+            raise ValueError(
+                "method='cnn' requires cnn_params (load_params(model_name))"
+            )
+        ds = cfg.downscale_factor
+        xn, valid_ds = cnn_mod.preprocess(xz, in_lens, ds)
+        logits = cnn_mod.apply(cnn_params, xn)
+        starts_k, lens_k = cnn_mod.polya_candidates_from_logits(
+            logits, valid_ds, cfg.cnn_polya_cand_k
+        )
+
+        ad_proxy_mask = valid & (pos < cfg.min_obs_adapter)
+        adapter_proxy_med = masked_median(x, ad_proxy_mask)
+        thr_s = cfg.polya_scale * adapter_proxy_med  # (B,)
+
+        cand_pos = jnp.clip(starts_k * ds, 0, L - 1)  # (B, k) raw samples
+        mean_at = jnp.take_along_axis(mean_f, cand_pos, axis=1)
+        var_at = jnp.take_along_axis(var_w, cand_pos, axis=1)
+        ok_cand = (
+            (mean_at > thr_s[:, None])
+            & (var_at < cfg.polya_var_max)
+            & (lens_k * ds >= cfg.min_obs_polya)
+        )
+        found = jnp.any(ok_cand, axis=1)
+        first = jnp.argmax(ok_cand, axis=1)[:, None]
+        sel_start = jnp.take_along_axis(cand_pos, first, axis=1)[:, 0]
+        sel_len = jnp.take_along_axis(lens_k, first, axis=1)[:, 0] * ds
+        coarse_ps = sel_start
+        coarse_pe = jnp.minimum(sel_start + sel_len, in_lens)
+        polya_candidates = jnp.sum(lens_k > 0, axis=1).astype(jnp.int32)
+
+        polya_start = _llr_refine(
+            xz, coarse_ps, cfg.llr_refine_window, jnp.int32(0), in_lens
+        )
+        polya_end = _llr_refine(
+            xz, coarse_pe, cfg.llr_refine_window, polya_start, in_lens
+        )
+        polya_start = jnp.where(found, polya_start, 0)
+        polya_end = jnp.where(found, polya_end, 0)
+
+        below_pore, _ = _first_true(
+            (mean_f < cfg.open_pore_pa) & valid, jnp.int32(0)
+        )
+        adapter_start = below_pore
+        adapter_end = polya_start
+    else:
+        # ---- [llr_boundaries] primary: sustained elevated+flat region ->
+        # polyA; adapter = [sub-open-pore start, polyA start)
+        # adapter level proxy: median of the first min_obs_adapter samples
+        ad_proxy_mask = valid & (pos < cfg.min_obs_adapter)
+        adapter_proxy_med = masked_median(x, ad_proxy_mask)
+
+        # poly(A) candidates: elevated + flat + fully inside the valid region
+        thr = cfg.polya_scale * adapter_proxy_med[:, None]
+        win_ok = (pos + cfg.min_obs_polya) <= in_lens[:, None]
+        cand = (mean_f > thr) & (var_w < cfg.polya_var_max) & valid & win_ok
+
+        # sustained for min_obs_polya samples
+        z = jnp.zeros((B, 1), jnp.int32)
+        cc = jnp.concatenate(
+            [z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1
+        )
+        W = cfg.min_obs_polya
+        idx_hi = jnp.minimum(jnp.arange(L) + W, L)
+        run_sum = cc[:, idx_hi] - cc[:, :L]
+        sustained = (run_sum == W) & cand
+
+        coarse_ps, found = _first_true(sustained, jnp.int32(0))
+
+        # count distinct sustained runs (polya_candidates column)
+        sust_prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), sustained[:, :-1]], axis=1
+        )
+        run_starts = sustained & ~sust_prev
+        polya_candidates = jnp.sum(run_starts, axis=1).astype(jnp.int32)
+
+        # poly(A) end: first position >= coarse_ps where the region stops
+        # being both elevated and flat (variance catches RNA starts whose
+        # level is close to the threshold; LLR refinement pins the sample).
+        flat_high = (mean_f > thr) & (var_f <= cfg.polya_var_max) & valid
+        lapse = (~flat_high) & (pos >= coarse_ps[:, None] + W)
+        coarse_pe, has_end = _first_true(lapse, jnp.int32(0))
+        coarse_pe = jnp.where(has_end, coarse_pe, in_lens)
+        coarse_pe = jnp.minimum(coarse_pe + cfg.mean_window // 2, in_lens)
+
+        # LLR sample-precision refinement of both boundaries
+        polya_start = _llr_refine(
+            xz, coarse_ps, cfg.llr_refine_window, jnp.int32(0), in_lens
+        )
+        polya_end = _llr_refine(
+            xz, coarse_pe, cfg.llr_refine_window, polya_start, in_lens
+        )
+        polya_start = jnp.where(found, polya_start, 0)
+        polya_end = jnp.where(found, polya_end, 0)
+
+        # adapter start: first sub-open-pore sample (usually 0)
+        below_pore, _ = _first_true(
+            (mean_f < cfg.open_pore_pa) & valid, jnp.int32(0)
+        )
+        adapter_start = below_pore
+        adapter_end = polya_start
 
     # ---- region statistics
     ad_mean, ad_std, ad_med, ad_mad = _region_stats(x, pos, adapter_start, adapter_end)
@@ -217,6 +423,7 @@ def detect_boundaries_batch(
         return jnp.where((fail == 0) & cond, jnp.int32(code), fail)
 
     fail = set_fail(fail, too_short_sig, 1)
+    fail = set_fail(fail, sp_fail, 9)  # rna start peak not found
     fail = set_fail(fail, no_polya, 2)
     fail = set_fail(fail, ad_too_short, 3)
     fail = set_fail(fail, ad_too_long, 4)
@@ -307,3 +514,34 @@ def detect_boundaries_batch(
         rna_med=rna_med,
         rna_mad=rna_mad,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_boundaries_with_fallback(
+    signals: jnp.ndarray,
+    in_lens: jnp.ndarray,
+    cfg: DetectConfig = DetectConfig(),
+    cnn_params: dict | None = None,
+) -> DetectArrays:
+    """Primary detect + per-read LLR fallback (README.md:336-349).
+
+    The reference re-runs failed reads through combined_detect_llr2; on TPU
+    the fixed-shape formulation runs the (cheap) LLR detector on the whole
+    minibatch alongside the primary and selects it row-wise wherever the
+    primary failed — no dynamic re-batching, one compiled program.
+    """
+    primary = detect_boundaries_batch(signals, in_lens, cfg, cnn_params)
+    if cfg.method == "llr" or not cfg.fallback_to_llr:
+        return primary
+    llr = detect_boundaries_batch(
+        signals, in_lens, replace(cfg, method="llr", fallback_to_llr=False)
+    )
+    use_llr = ~primary.success
+
+    def sel(p, l):
+        cond = use_llr
+        if p.ndim > 1:
+            cond = cond.reshape((-1,) + (1,) * (p.ndim - 1))
+        return jnp.where(cond, l, p)
+
+    return DetectArrays(*[sel(p, l) for p, l in zip(primary, llr)])

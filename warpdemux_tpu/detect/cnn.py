@@ -1,0 +1,136 @@
+"""CNN boundary proposal network (the [cnn_boundaries] method).
+
+The reference's primary RNA004-mRNA detector is a torch CNN inside the
+absent ADAPTed submodule: it proposes boundary candidates and the top
+`polya_cand_k` poly(A) candidates are validated before acceptance
+(combined_detect_cnn, called at reference file_proc.py:401-407; knobs
+cnn_detect/polya_cand_k/model_name in config_files/rna004_130bps@v1.0.toml
+and fallback behavior per README.md:336-349). The torch weights are not in
+the reference checkout, so this is a from-scratch JAX implementation with
+its own trained weights:
+
+- input: the (B, L) calibrated signal, mean-pooled by `downscale_factor`
+  and robustly normalized per read (median/MAD over the valid region),
+- body: a small dilated 1-D conv stack (receptive field ~45 ds-units ≈
+  450 samples) emitting per-position 3-class logits
+  {adapter, polyA, RNA},
+- proposals: predicted-polyA runs ranked by length; the top-k run starts
+  are the polyA candidates (polya_cand_k),
+- validation + refinement happen in detect/boundaries.py (elevated+flat
+  checks at each candidate, then LLR sample refinement), mirroring the
+  reference's candidate-validation contract.
+
+Weights are an npz of this module's parameter pytree, trained on synthetic
+squiggles by tools/train_cnn.py and shipped in detect/cnn_files/.
+Everything here is shape-static and jit-safe.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CNN_DIR = Path(__file__).parent / "cnn_files"
+
+# (out_ch, in_ch, kernel, dilation) per layer; final 1x1 projects to 3 classes
+ARCH = (
+    (16, 1, 7, 1),
+    (32, 16, 7, 2),
+    (32, 32, 7, 4),
+    (32, 32, 7, 8),
+    (3, 32, 1, 1),
+)
+N_CLASSES = 3  # 0=adapter, 1=polyA, 2=RNA
+
+
+def init_params(rng: np.random.Generator) -> dict:
+    """He-initialized parameter pytree."""
+    params = {}
+    for i, (co, ci, k, _d) in enumerate(ARCH):
+        std = float(np.sqrt(2.0 / (ci * k)))
+        params[f"w{i}"] = jnp.asarray(
+            rng.normal(0, std, size=(co, ci, k)), jnp.float32
+        )
+        params[f"b{i}"] = jnp.zeros((co,), jnp.float32)
+    return params
+
+
+def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, Lds) normalized signal -> (B, Lds, 3) logits."""
+    h = x[:, None, :]  # NCW
+    n = len(ARCH)
+    for i, (_co, _ci, k, d) in enumerate(ARCH):
+        pad = (k - 1) * d // 2
+        h = jax.lax.conv_general_dilated(
+            h,
+            params[f"w{i}"],
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            rhs_dilation=(d,),
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        ) + params[f"b{i}"][None, :, None]
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return jnp.transpose(h, (0, 2, 1))  # (B, Lds, 3)
+
+
+def preprocess(signals: jnp.ndarray, in_lens: jnp.ndarray, ds: int):
+    """Mean-pool by ds and normalize per read (median/MAD over valid lanes).
+
+    Returns (xds (B, Lds), valid_ds (B, Lds) bool).
+    """
+    from warpdemux_tpu.ops.normalize import masked_mad, masked_median
+
+    B, L = signals.shape
+    Lds = L // ds
+    xds = jnp.mean(signals[:, : Lds * ds].reshape(B, Lds, ds), axis=2)
+    lens_ds = in_lens // ds
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, Lds), 1) < lens_ds[:, None]
+    )
+    med = masked_median(xds, valid)
+    mad = masked_mad(xds, valid, med)
+    xn = (xds - med[:, None]) / jnp.maximum(mad[:, None], 1e-3)
+    return jnp.where(valid, xn, 0.0), valid
+
+
+def polya_candidates_from_logits(
+    logits: jnp.ndarray, valid: jnp.ndarray, k: int
+):
+    """Top-k predicted-polyA runs by length.
+
+    Returns (starts (B, k), lengths (B, k)) in ds units; absent candidates
+    have length 0.
+    """
+    B, Lds, _ = logits.shape
+    cls = jnp.argmax(logits, axis=-1)
+    is_pa = (cls == 1) & valid
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lds), 1)
+    prev = jnp.concatenate([jnp.zeros((B, 1), bool), is_pa[:, :-1]], axis=1)
+    run_start = is_pa & ~prev
+    # next non-polyA index at-or-after p (reverse cummin of ~is_pa positions)
+    nxt = jax.lax.cummin(
+        jnp.where(~is_pa, pos, jnp.int32(Lds)), axis=1, reverse=True
+    )
+    run_len = jnp.where(run_start, nxt - pos, 0)
+    lens_k, idx_k = jax.lax.top_k(run_len, k)
+    return jnp.take_along_axis(pos, idx_k, axis=1), lens_k
+
+
+def save_params(params: dict, path: str | Path) -> None:
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_params(name: str) -> dict:
+    """Load a shipped weights bundle by name (no extension)."""
+    path = CNN_DIR / f"{name}.npz"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"CNN weights {name!r} not found at {path}; train with "
+            "tools/train_cnn.py or use the llr/start_peak methods."
+        )
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}

@@ -46,7 +46,23 @@ def load_model_arrays(name: str) -> dict[str, np.ndarray]:
 
 
 def load_model(name: str, dtype=np.float32):
-    """Load a model by name into a ready-to-predict DTWSVMModel."""
-    from warpdemux_tpu.models.dtw_svm import DTWSVMModel
+    """Load a model by name into a ready-to-predict model object.
 
-    return DTWSVMModel.from_arrays(load_model_arrays(name), name=name, dtype=dtype)
+    The bundle's `model_type` field selects the family (reference classes
+    DTW_SVM / DTW_MLP / Fpt_Boost, warpdemux/models/); absent means
+    dtw_svm (all shipped reference models are DTW_SVM, SURVEY 2.6)."""
+    arrays = load_model_arrays(name)
+    mtype = str(arrays.get("model_type", "dtw_svm"))
+    if mtype == "dtw_svm":
+        from warpdemux_tpu.models.dtw_svm import DTWSVMModel
+
+        return DTWSVMModel.from_arrays(arrays, name=name, dtype=dtype)
+    if mtype == "dtw_mlp":
+        from warpdemux_tpu.models.dtw_mlp import DTWMLPModel
+
+        return DTWMLPModel.from_arrays(arrays, name=name, dtype=dtype)
+    if mtype == "fpt_boost":
+        from warpdemux_tpu.models.fpt_boost import FptBoostModel
+
+        return FptBoostModel.from_arrays(arrays, name=name, dtype=dtype)
+    raise ValueError(f"unknown model_type {mtype!r} in bundle {name!r}")

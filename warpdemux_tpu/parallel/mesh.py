@@ -55,12 +55,17 @@ def make_sharded_demux_step(model, spc, mesh: Mesh, axis_name: str = "data"):
     """
     from jax.experimental.shard_map import shard_map
 
-    from warpdemux_tpu.detect.boundaries import detect_boundaries_batch
+    from warpdemux_tpu.detect.boundaries import detect_boundaries_with_fallback
     from warpdemux_tpu.ops.fingerprint import fingerprints_from_boundaries
     from warpdemux_tpu.ops import svm as svm_ops
     from warpdemux_tpu.ops.dtw import dtw_distance_matrix
 
     dcfg, fcfg = spc.detect, spc.fingerprint
+    cnn_params = {}
+    if dcfg.method == "cnn":
+        from warpdemux_tpu.detect import cnn as cnn_mod
+
+        cnn_params = cnn_mod.load_params(spc.cnn_model_name)
     X_sv, params = model.X_sv, model.params
     label_map, thresholds = model.label_map, model.thresholds
     gamma, pwr = model.gamma, model.pwr_dist
@@ -68,8 +73,10 @@ def make_sharded_demux_step(model, spc, mesh: Mesh, axis_name: str = "data"):
     k = model.n_classes
 
     def local_step(signals, in_lens, X_sv, coef, intercept, probA, probB,
-                   label_map, thresholds):
-        det = detect_boundaries_batch(signals, in_lens, dcfg)
+                   label_map, thresholds, cnn_params):
+        det = detect_boundaries_with_fallback(
+            signals, in_lens, dcfg, cnn_params or None
+        )
         fpt = fingerprints_from_boundaries(
             signals, in_lens, det.adapter_start, det.adapter_end, fcfg
         )
@@ -95,6 +102,7 @@ def make_sharded_demux_step(model, spc, mesh: Mesh, axis_name: str = "data"):
             P(axis_name, None),  # signals
             batch_spec,  # in_lens
             rep, rep, rep, rep, rep, rep, rep,  # replicated model arrays
+            rep,  # replicated CNN weights (empty dict for llr/start_peak)
         ),
         out_specs=(batch_spec, batch_spec, batch_spec, rep),
         check_rep=False,
@@ -112,6 +120,7 @@ def make_sharded_demux_step(model, spc, mesh: Mesh, axis_name: str = "data"):
             params.probB,
             label_map,
             thresholds,
+            cnn_params,
         )
 
     return step

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from warpdemux_tpu.detect.boundaries import detect_boundaries_batch
+from warpdemux_tpu.detect.boundaries import detect_boundaries_with_fallback
 from warpdemux_tpu.detect.containers import DetectArrays
 from warpdemux_tpu.ops.fingerprint import (
     ConsensusFingerprintArrays,
@@ -71,6 +71,11 @@ def make_demux_step(
     which pipelining across minibatches hides.
     """
     dcfg, fcfg = spc.detect, spc.fingerprint
+    cnn_params = None
+    if dcfg.method == "cnn":
+        from warpdemux_tpu.detect import cnn as cnn_mod
+
+        cnn_params = cnn_mod.load_params(spc.cnn_model_name)
 
     if with_predict and model is not None:
         use_pallas = jax.default_backend() == "tpu"
@@ -132,7 +137,12 @@ def make_demux_step(
             signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
                 :, None
             ]
-            return detect_boundaries_batch(signals, in_lens, dcfg), signals
+            return (
+                detect_boundaries_with_fallback(
+                    signals, in_lens, dcfg, cnn_params
+                ),
+                signals,
+            )
 
     def step(*args):
         if input_format == "adc":
@@ -148,7 +158,9 @@ def make_demux_step(
             signals, in_lens = args
             signals = jnp.asarray(signals, jnp.float32)
             in_lens = jnp.asarray(in_lens, jnp.int32)
-            det = detect_boundaries_batch(signals, in_lens, dcfg)
+            det = detect_boundaries_with_fallback(
+                signals, in_lens, dcfg, cnn_params
+            )
         if refine:
             cons = fingerprints_consensus_refined(
                 signals,
