@@ -22,9 +22,18 @@ _DCTX = zstandard.ZstdDecompressor()
 
 
 def decode(payload: bytes, n: int) -> np.ndarray:
-    """Decode a VBZ-compressed signal chunk into int16 ADC counts."""
+    """Decode a VBZ-compressed signal chunk into int16 ADC counts.
+
+    Prefers the native C++ decoder (warpdemux_tpu/native, ~one pass, no
+    temporaries); falls back to the vectorized numpy path below when the
+    toolchain is unavailable."""
     if n == 0:
         return np.zeros(0, np.int16)
+    from warpdemux_tpu import native
+
+    out = native.vbz_decode(payload, n)
+    if out is not None:
+        return out
     raw = _DCTX.decompress(payload, max_output_size=4 * n + 16)
     keylen = (n + 7) // 8
     keys = np.frombuffer(raw, np.uint8, count=keylen)
