@@ -38,19 +38,31 @@ def main(argv=None):
 
         client = DummyClient(n_reads=args.n_reads)
     else:
-        try:
-            import minknow_api  # noqa: F401
-        except ImportError:
-            print(
-                "minknow_api not available in this environment; "
-                "run with --dummy for the replay harness",
-                file=sys.stderr,
-            )
-            return 2
-        raise NotImplementedError(
-            "live MinKNOW transport requires a sequencer environment; "
-            "use --dummy here"
+        # real MinKNOW: gRPC transport + accumulating client with the
+        # reference's construction parameters (entry_point.py:26-37:
+        # one_chunk=False, AccumulatingCache(5120), calibrated signal,
+        # prefilter_classes={'adapter'})
+        from warpdemux_tpu.live.caches import AccumulatingCache
+        from warpdemux_tpu.live.read_until import (
+            ReadUntilClient,
+            minknow_transport,
         )
+
+        try:
+            transport = minknow_transport()
+        except RuntimeError as e:
+            print(f"{e}; run with --dummy for the replay harness",
+                  file=sys.stderr)
+            return 2
+        client = ReadUntilClient(
+            transport,
+            cache=AccumulatingCache(size=5120),
+            one_chunk=False,
+            filter_strands=True,
+            prefilter_classes={"adapter"},
+            calibrated_signal=True,
+        )
+        client.run()
 
     session = build_session(args.config_file, client=client)
     session.run()
