@@ -1,0 +1,77 @@
+"""End-to-end pipeline tests on a real pod5 fixture: demux / prep /
+predict / continue through the CLI surface (the reference's smoke-test
+strategy, SURVEY 4.1, turned into pytest)."""
+
+import glob
+import gzip
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+POD5 = "/root/reference/test_data/live_balancing/small_pod5_0.pod5"
+pytestmark = pytest.mark.skipif(
+    not Path(POD5).exists(), reason="pod5 fixture unavailable"
+)
+
+COMMON = ["-m", "WDX4_rna004_v1_0", "-b", "64", "--no-create_subdir"]
+
+
+def _cli(*argv):
+    from warpdemux_tpu.cli import main
+
+    assert main(list(argv)) in (0, None)
+
+
+def _read_csvs(pattern):
+    frames = [pd.read_csv(f) for f in sorted(glob.glob(pattern))]
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def test_demux_end_to_end(tmp_path):
+    out = tmp_path / "demux"
+    _cli("demux", "-i", POD5, "-o", str(out), *COMMON)
+    preds = _read_csvs(str(out / "predictions" / "*.csv.gz"))
+    fails = _read_csvs(str(out / "failed_reads" / "*.csv.gz"))
+    assert len(preds) + len(fails) == 200
+    assert len(preds) > 50
+    assert set(preds.columns) >= {
+        "#read_id", "predicted_barcode", "confidence_score",
+        "p03", "p04", "p05", "p07", "p-1",
+    }
+    assert preds["predicted_barcode"].isin([3, 4, 5, 7, -1]).all()
+    # probabilities are a distribution
+    psum = preds[["p03", "p04", "p05", "p07", "p-1"]].sum(axis=1)
+    assert ((psum - 1.0).abs() < 0.01).all()
+    assert "fail_reason" in fails.columns
+    assert (out / "command.json").exists()
+
+
+def test_prep_then_predict_matches_demux(tmp_path):
+    out_d = tmp_path / "demux"
+    out_p = tmp_path / "prep"
+    _cli("demux", "-i", POD5, "-o", str(out_d), *COMMON)
+    _cli("prep", "-i", POD5, "-o", str(out_p), *COMMON)
+    fpts = sorted(glob.glob(str(out_p / "fingerprints" / "*.npz")))
+    assert fpts
+    with np.load(fpts[0], allow_pickle=True) as z:
+        assert z["signals"].shape[1] == 25
+    _cli("predict", str(out_p))
+    preds_d = _read_csvs(str(out_d / "predictions" / "*.csv.gz"))
+    preds_p = _read_csvs(str(out_p / "predictions" / "*.csv.gz"))
+    m = preds_d.merge(preds_p, on="#read_id", suffixes=("_d", "_p"))
+    assert len(m) == len(preds_d) == len(preds_p)
+    assert (m["predicted_barcode_d"] == m["predicted_barcode_p"]).all()
+
+
+def test_continue_resumes_without_reprocessing(tmp_path):
+    out = tmp_path / "demux"
+    _cli("demux", "-i", POD5, "-o", str(out), *COMMON)
+    n_before = len(_read_csvs(str(out / "predictions" / "*.csv.gz")))
+    _cli("continue", str(out))
+    preds = _read_csvs(str(out / "predictions" / "*.csv.gz"))
+    # all reads were already processed: no duplicates appear
+    assert len(preds) == n_before
+    assert preds["#read_id"].is_unique

@@ -65,15 +65,21 @@ def build_parser():
     pr = sub.add_parser("prep", help="detect + fingerprint only")
     _add_common(pr)
 
+    # reference surface: `warpdemux predict PREDICT_FROM_DIR` /
+    # `warpdemux continue CONTINUE_FROM_DIR` (positional run dir,
+    # README.md:318-333); -i kept as an alias
     pd_ = sub.add_parser("predict", help="classify fingerprints from a prep run")
-    pd_.add_argument("-i", "--input", required=True,
+    pd_.add_argument("input_dir", nargs="?", default=None,
                      help="previous prep run dir (with command.json)")
+    pd_.add_argument("-i", "--input", default=None)
     pd_.add_argument("-m", "--model_name", default=None)
     pd_.add_argument("--batch_size_output", type=int, default=40000)
     pd_.add_argument("--jax-platform", default=None)
 
     c = sub.add_parser("continue", help="resume a previous run")
-    c.add_argument("-i", "--input", required=True, help="previous run dir")
+    c.add_argument("input_dir", nargs="?", default=None,
+                   help="previous run dir")
+    c.add_argument("-i", "--input", default=None)
     c.add_argument("-m", "--model_name", default=None)
     c.add_argument("-b", "--minibatch_size", type=int, default=None)
     c.add_argument("--jax-platform", default=None)
@@ -243,6 +249,10 @@ def _cmd_continue(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.command in ("predict", "continue"):
+        args.input = args.input or args.input_dir
+        if not args.input:
+            raise SystemExit(f"{args.command} requires a run directory")
     _init_jax(getattr(args, "jax_platform", None))
     if args.command in ("demux", "prep"):
         return _run_batch_command(args, args.command)

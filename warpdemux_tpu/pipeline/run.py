@@ -68,6 +68,64 @@ class RunStats:
     elapsed_s: float = 0.0
 
 
+class _Progress:
+    """Total / failed / pass progress display (the reference's three tqdm
+    bars with an asynchronously-computed total, file_proc.py:783-964):
+    the expected total is counted in a background thread so the run starts
+    immediately; bars update as the main loop reports."""
+
+    def __init__(self, stats: RunStats, total_fn, label: str):
+        self.stats = stats
+        self.total = None
+        self._bars = None
+        self._label = label
+        self._stop = threading.Event()
+        threading.Thread(
+            target=self._count_total, args=(total_fn,), daemon=True
+        ).start()
+        try:
+            import sys
+
+            from tqdm import tqdm
+
+            if sys.stderr.isatty():
+                self._bars = (
+                    tqdm(desc="total", unit="reads", position=0),
+                    tqdm(desc="failed", unit="reads", position=1),
+                    tqdm(desc=label, unit="reads", position=2),
+                )
+        except ImportError:
+            pass
+
+    def _count_total(self, total_fn):
+        try:
+            self.total = total_fn()
+            if self._bars:
+                self._bars[0].total = self.total
+        except Exception:
+            pass
+
+    def update(self):
+        s = self.stats
+        if self._bars:
+            b_tot, b_fail, b_pass = self._bars
+            b_tot.n, b_fail.n, b_pass.n = s.total, s.failed, s.passed
+            for b in self._bars:
+                b.refresh()
+        elif s.total and s.total % 10000 < 1000:
+            tot = f"/{self.total}" if self.total else ""
+            logging.info(
+                "progress: %d%s reads (%d %s, %d failed)",
+                s.total, tot, s.passed, self._label, s.failed,
+            )
+
+    def close(self):
+        self._stop.set()
+        if self._bars:
+            for b in self._bars:
+                b.close()
+
+
 def run_demux(config: Config, model=None) -> RunStats:
     """Demux/prep over pod5 inputs. `model` may be preloaded; otherwise it is
     resolved from config.classif.model_name when predicting."""
@@ -179,6 +237,13 @@ def run_demux(config: Config, model=None) -> RunStats:
                 break
 
     stats = RunStats()
+    progress = _Progress(
+        stats,
+        total_fn=lambda: __import__(
+            "warpdemux_tpu.io.pod5", fromlist=["count_reads"]
+        ).count_reads(config.input.files),
+        label="pass" if not do_predict else "predicted",
+    )
     while True:
         item = feed.get()
         if item is None:
@@ -241,7 +306,9 @@ def run_demux(config: Config, model=None) -> RunStats:
             )
             pred_acc.add(df)
             stats.predicted += len(df)
+        progress.update()
 
+    progress.close()
     pred_acc.close()
     fail_acc.close()
     bound_acc.close()
