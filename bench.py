@@ -30,6 +30,23 @@ ADC_SCALE = np.float32(0.1755)  # typical RNA004 calibration
 ADC_OFFSET = np.float32(-240.0)
 
 
+def synth_minibatch_vbz(rng, B, L):
+    """synth_minibatch packed into the compressed VBZ wire format (the
+    pipeline's production feed: keys/data inner layout, decoded on device)."""
+    from warpdemux_tpu.ops.vbz_device import (
+        inner_layout_from_adc,
+        pack_inner_host,
+    )
+
+    adc, offset, scale, lens = synth_minibatch(rng, B, L)
+    klen = (L + 7) // 8
+    bodies = [inner_layout_from_adc(adc[i]) for i in range(B)]
+    width = max(len(b) - klen for b in bodies)
+    width = ((width + 1023) // 1024) * 1024
+    keys, data = pack_inner_host(bodies, L, width)
+    return keys, data, offset, scale, lens
+
+
 def synth_minibatch(rng, B, L):
     """Event-structured adapter + flat polyA + RNA, vectorized; returned in
     the pod5-native int16 ADC domain."""
@@ -66,9 +83,12 @@ def main():
     rng = np.random.default_rng(0)
     model = load_model(MODEL)
     spc = get_model_spc_config(MODEL)
-    step = make_demux_step(model, spc, input_format="adc")
+    step = make_demux_step(model, spc, input_format="vbz")
 
-    batches = [synth_minibatch(rng, B, L) for _ in range(WARM_BATCHES + TIMED_BATCHES)]
+    batches = [
+        synth_minibatch_vbz(rng, B, L)
+        for _ in range(WARM_BATCHES + TIMED_BATCHES)
+    ]
 
     # warmup / compile (also transfers the first batch)
     for batch in batches[:WARM_BATCHES]:

@@ -23,7 +23,7 @@ import pandas as pd
 
 from warpdemux_tpu.config.config import Config
 from warpdemux_tpu.detect.containers import fail_code_to_reason
-from warpdemux_tpu.io.pod5 import yield_adc_batches
+from warpdemux_tpu.io.pod5 import yield_vbz_batches
 from warpdemux_tpu.io import writers
 from warpdemux_tpu.pipeline.step import make_demux_step
 
@@ -138,7 +138,7 @@ def run_demux(config: Config, model=None) -> RunStats:
         model = load_model(config.classif.model_name)
 
     step = make_demux_step(
-        model, spc, with_predict=do_predict, input_format="adc"
+        model, spc, with_predict=do_predict, input_format="vbz"
     )
 
     B = config.batch.minibatch_size
@@ -147,31 +147,37 @@ def run_demux(config: Config, model=None) -> RunStats:
     feed: queue.Queue = queue.Queue(maxsize=4)
 
     def producer():
-        """Decode pod5 -> fixed-shape int16 ADC minibatches, pad the tail to
-        the compiled shape, and start the host->device transfer here so it
-        overlaps the main loop's compute (the reference's preloader thread +
-        bounded queue, file_proc.py:333-354, with device_put as the
-        'preload')."""
+        """pod5 -> compressed-wire minibatches (VBZ inner layout, decoded on
+        device), padded to the compiled batch shape, with the host->device
+        transfer started here so it overlaps the main loop's compute (the
+        reference's preloader thread + bounded queue, file_proc.py:333-354,
+        with device_put as the 'preload')."""
         import jax
 
         try:
-            for batch in yield_adc_batches(
+            for batch in yield_vbz_batches(
                 config.input.files,
                 config.input.read_ids_incl,
                 config.input.read_ids_excl,
                 batch_size=B,
                 preload_size=L,
             ):
-                adc, offset, scale, in_lens, full_lens, read_ids = batch
-                n = adc.shape[0]
+                keys, data, offset, scale, in_lens, full_lens, read_ids = batch
+                n = keys.shape[0]
                 if n < B:
                     pad = B - n
-                    adc = np.concatenate([adc, np.zeros((pad, L), np.int16)])
+                    keys = np.concatenate(
+                        [keys, np.zeros((pad, keys.shape[1]), np.uint8)]
+                    )
+                    data = np.concatenate(
+                        [data, np.zeros((pad, data.shape[1]), np.uint8)]
+                    )
                     offset = np.concatenate([offset, np.zeros(pad, np.float32)])
                     scale = np.concatenate([scale, np.zeros(pad, np.float32)])
                     in_lens = np.concatenate([in_lens, np.zeros(pad, np.int32)])
                 dev = (
-                    jax.device_put(adc),
+                    jax.device_put(keys),
+                    jax.device_put(data),
                     jax.device_put(offset),
                     jax.device_put(scale),
                     jax.device_put(in_lens),
@@ -248,8 +254,8 @@ def run_demux(config: Config, model=None) -> RunStats:
         item = feed.get()
         if item is None:
             break
-        (adc, offset, scale, in_lens), n, full_lens, read_ids = item
-        res = step(adc, offset, scale, in_lens)
+        (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
+        res = step(keys, data, offset, scale, in_lens)
 
         success = np.asarray(res.success)[:n]
         fail_code = np.asarray(res.fail_code)[:n]

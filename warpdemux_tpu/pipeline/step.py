@@ -59,6 +59,11 @@ def make_demux_step(
              the host->device link (half the bytes of f32) and the exact
              calibration (adc + offset) * scale runs on device, fused into
              the detect dispatch.
+      "vbz": step(keys (B, L/8) u8, data (B, D) u8, offset, scale,
+             in_lens) — the compressed wire: the pod5 VBZ inner layout
+             (~11.5 KB/read vs 20 KB int16) crosses the link and the TPU
+             decodes it (ops/vbz_device); D varies per batch (bounded
+             ladder of compile variants for the small decode program).
 
     `model` is a DTWSVMModel (or None for prep-only runs).
 
@@ -144,8 +149,38 @@ def make_demux_step(
                 signals,
             )
 
+    if input_format == "vbz":
+        from warpdemux_tpu.ops.vbz_device import vbz_decode_batch
+
+        @jax.jit
+        def calibrate_and_detect(adc, offset, scale, in_lens):
+            signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
+                :, None
+            ]
+            return (
+                detect_boundaries_with_fallback(
+                    signals, in_lens, dcfg, cnn_params
+                ),
+                signals,
+            )
+
     def step(*args):
-        if input_format == "adc":
+        if input_format == "vbz":
+            keys, data, offset, scale, in_lens = args
+            in_lens = jnp.asarray(in_lens, jnp.int32)
+            L = keys.shape[1] * 8
+            adc = vbz_decode_batch(
+                jnp.asarray(keys, jnp.uint8),
+                jnp.asarray(data, jnp.uint8),
+                L,
+            ).astype(jnp.int16)
+            det, signals = calibrate_and_detect(
+                adc,
+                jnp.asarray(offset, jnp.float32),
+                jnp.asarray(scale, jnp.float32),
+                in_lens,
+            )
+        elif input_format == "adc":
             adc, offset, scale, in_lens = args
             in_lens = jnp.asarray(in_lens, jnp.int32)
             det, signals = calibrate_and_detect(
