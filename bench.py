@@ -112,9 +112,11 @@ def main():
         if item is None:
             break
         res = step(*item)
-        pred = np.asarray(res.pred)  # host fetch closes the loop
-        conf = np.asarray(res.conf)
-        n_pass += int(np.asarray(res.success).sum())
+        # one bulk fetch of the decision outputs closes the loop
+        pred, conf, success = jax.device_get(
+            (res.pred, res.conf, res.success)
+        )
+        n_pass += int(success.sum())
     dt = time.time() - t0
 
     total = TIMED_BATCHES * B

@@ -95,9 +95,15 @@ def convert_joblib(joblib_path: str | Path) -> dict[str, np.ndarray]:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--src", default=None,
+                    help="explicit joblib dir (e.g. a DEPRECATED/model_files)")
     ap.add_argument("--out", default=str(Path(__file__).parent / "model_files"))
     args = ap.parse_args(argv)
-    src = Path(args.reference) / "warpdemux" / "models" / "model_files"
+    src = (
+        Path(args.src)
+        if args.src
+        else Path(args.reference) / "warpdemux" / "models" / "model_files"
+    )
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     for jl in sorted(src.glob("*.joblib")):

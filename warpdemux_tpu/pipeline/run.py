@@ -255,7 +255,12 @@ def run_demux(config: Config, model=None) -> RunStats:
         if item is None:
             break
         (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
+        import jax
+
         res = step(keys, data, offset, scale, in_lens)
+        # one bulk device->host fetch for the whole result pytree (array-
+        # by-array np.asarray costs a link round-trip per array)
+        res = jax.device_get(res)
 
         success = np.asarray(res.success)[:n]
         fail_code = np.asarray(res.fail_code)[:n]
