@@ -50,6 +50,9 @@ def _add_common(p):
     p.add_argument("--no-create_subdir", dest="create_subdir", action="store_false")
     p.add_argument("--jax-platform", default=None,
                    help="force a jax backend (e.g. cpu) before init")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a JAX/XLA profiler trace for the run "
+                        "(view with tensorboard / xprof)")
 
 
 def build_parser():
@@ -166,7 +169,19 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
         sig_proc=spc,
     )
     config.write_command_json(sys.argv[1:])
-    stats = run_demux(config)
+    if getattr(args, "profile_dir", None):
+        import contextlib
+
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        logging.info("profiling to %s", args.profile_dir)
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext()
+    with profile_ctx:
+        stats = run_demux(config)
     print(
         f"done: {stats.total} reads, {stats.passed} pass, {stats.failed} fail,"
         f" {stats.predicted} predicted, {stats.elapsed_s:.1f}s"

@@ -121,26 +121,43 @@ class Session:
             target=self._classify_loop, name="classifier"
         )
 
-    # ---- fingerprinting (host, per accepted chunk) -----------------------
-    def _fingerprint(self, signal: np.ndarray) -> np.ndarray | None:
-        """Adapter signal -> 25-event fingerprint (host numpy, one read)."""
+    # ---- fingerprinting (bucketed micro-batch lane) ----------------------
+    # XLA compiles per input shape; unbucketed per-read calls would compile
+    # on nearly every chunk (seconds each on TPU). The live lane therefore
+    # uses ONE fixed batch dim (max_batch, padded) and a short ladder of
+    # signal-length buckets, so at most len(_LEN_BUCKETS) programs exist.
+    _LEN_BUCKETS = (2048, 4096, 6144, 8192, 10240, 12288)
+
+    def _fingerprint_batch(self, signals: list[np.ndarray]):
+        """Batched adapter-signal -> fingerprint; returns (fpts, ok)."""
         import jax.numpy as jnp
 
         from warpdemux_tpu.ops.fingerprint import fingerprints_from_boundaries
 
         fcfg = self.spc.fingerprint
-        L = signal.size
-        sig = jnp.asarray(signal[None, :].astype(np.float32))
+        n = len(signals)
+        B = self.config.max_batch
+        max_len = max(s.size for s in signals)
+        L = next(
+            (b for b in self._LEN_BUCKETS if b >= max_len),
+            max_len,
+        )
+        sigs = np.zeros((B, L), np.float32)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(signals):
+            m = min(s.size, L)
+            sigs[i, :m] = s[:m]
+            lens[i] = m
         res = fingerprints_from_boundaries(
-            sig,
-            jnp.asarray([L], np.int32),
-            jnp.asarray([0], np.int32),
-            jnp.asarray([L], np.int32),
+            jnp.asarray(sigs),
+            jnp.asarray(lens),
+            jnp.zeros(B, jnp.int32),
+            jnp.asarray(lens),
             fcfg,
         )
-        if not bool(res.ok[0]):
-            return None
-        return np.asarray(res.fpt[0])
+        fpts = np.asarray(res.fpt[:n])
+        ok = np.asarray(res.ok[:n]) & np.isfinite(fpts).all(axis=1)
+        return fpts, ok
 
     # ---- classification micro-batcher ------------------------------------
     def _classify_loop(self):
@@ -166,12 +183,13 @@ class Session:
 
     def _classify_batch(self, batch: list[ReadObject]):
         cfg = self.config
+        t0 = time.time()
+        all_fpts, all_ok = self._fingerprint_batch([ro.signal for ro in batch])
+        dt_seg = (time.time() - t0) / len(batch)
         fpts, kept = [], []
-        for ro in batch:
-            t0 = time.time()
-            fpt = self._fingerprint(ro.signal)
-            ro.time_per_step["segmentation"] = time.time() - t0
-            if fpt is None or not np.isfinite(fpt).all():
+        for ro, fpt, ok in zip(batch, all_fpts, all_ok):
+            ro.time_per_step["segmentation"] = dt_seg
+            if not ok:
                 ro.outcome = "failed"
                 self._decide_and_act(ro, accepted=True)
                 continue
@@ -180,7 +198,13 @@ class Session:
         if not kept:
             return
         t0 = time.time()
-        pred, conf, probs = self.model.predict(np.stack(fpts))
+        # pad the fingerprint batch to the fixed micro-batch size so the
+        # classifier keeps a single compiled program
+        B = cfg.max_batch
+        fpt_arr = np.zeros((B, all_fpts.shape[1]), np.float32)
+        fpt_arr[: len(fpts)] = np.stack(fpts)
+        pred, conf, probs = self.model.predict(fpt_arr)
+        pred, conf = pred[: len(kept)], conf[: len(kept)]
         dt = (time.time() - t0) / len(kept)
         label_map = np.asarray(self.model.label_map)
         for ro, p, c in zip(kept, pred, conf):
