@@ -169,6 +169,13 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
         sig_proc=spc,
     )
     config.write_command_json(sys.argv[1:])
+    # snapshot the resolved chemistry config into the run dir (reference
+    # main.py:69-71)
+    from warpdemux_tpu.config.utils import dump_toml, resolve_model_chemistry_dict
+
+    (Path(run_dir) / "config.toml").write_text(
+        dump_toml(resolve_model_chemistry_dict(args.model_name, overrides))
+    )
     if getattr(args, "profile_dir", None):
         import contextlib
 

@@ -71,3 +71,51 @@ def parse_export_overrides(pairs: list[str]) -> dict:
 
 def apply_overrides(spc_dict: dict, overrides: dict) -> dict:
     return _deep_merge(spc_dict, overrides)
+
+
+def _toml_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
+        return repr(v)
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise TypeError(f"cannot serialize {type(v)} to TOML")
+
+
+def dump_toml(d: dict) -> str:
+    """Serialize a two-level {section: {key: value}} dict to TOML (used to
+    snapshot the resolved chemistry config into the run dir, mirroring the
+    reference's config.toml snapshot, main.py:69-71)."""
+    lines = []
+    for k, v in d.items():
+        if not isinstance(v, dict):
+            lines.append(f"{k} = {_toml_value(v)}")
+    for section, body in d.items():
+        if isinstance(body, dict):
+            lines.append("")
+            lines.append(f"[{section}]")
+            for k, v in body.items():
+                lines.append(f"{k} = {_toml_value(v)}")
+    return "\n".join(lines) + "\n"
+
+
+def resolve_model_chemistry_dict(
+    model_name: str, overrides: dict | None = None
+) -> dict:
+    """The merged chemistry dict (registry -> chemistry TOML -> overrides)
+    for snapshotting alongside a run."""
+    from warpdemux_tpu.models.registry import model_config
+
+    d = load_chemistry_dict(model_config(model_name)["spc"])
+    if overrides:
+        d = _deep_merge(d, overrides)
+    return d

@@ -183,6 +183,8 @@ def run_demux(config: Config, model=None) -> RunStats:
                     jax.device_put(in_lens),
                 )
                 feed.put((dev, n, full_lens, read_ids))
+        except Exception:
+            logging.exception("pod5 producer failed; stopping feed")
         finally:
             feed.put(None)
 
@@ -257,10 +259,22 @@ def run_demux(config: Config, model=None) -> RunStats:
         (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
         import jax
 
-        res = step(keys, data, offset, scale, in_lens)
-        # one bulk device->host fetch for the whole result pytree (array-
-        # by-array np.asarray costs a link round-trip per array)
-        res = jax.device_get(res)
+        try:
+            res = step(keys, data, offset, scale, in_lens)
+            # one bulk device->host fetch for the whole result pytree
+            # (array-by-array np.asarray costs a link round-trip per array)
+            res = jax.device_get(res)
+        except Exception:
+            # a poisoned minibatch must not kill the run (reference
+            # file_proc.py:1179-1184); its reads are dropped and logged
+            logging.exception(
+                "minibatch failed (%d reads dropped): %s...",
+                n,
+                read_ids[0] if len(read_ids) else "-",
+            )
+            stats.total += n
+            stats.failed += n
+            continue
 
         success = np.asarray(res.success)[:n]
         fail_code = np.asarray(res.fail_code)[:n]
