@@ -513,6 +513,7 @@ def detect_boundaries_batch(
         rna_std=rna_std,
         rna_med=rna_med,
         rna_mad=rna_mad,
+        used_llr_fallback=jnp.zeros(B, bool),
     )
 
 
@@ -544,4 +545,5 @@ def detect_boundaries_with_fallback(
             cond = cond.reshape((-1,) + (1,) * (p.ndim - 1))
         return jnp.where(cond, l, p)
 
-    return DetectArrays(*[sel(p, l) for p, l in zip(primary, llr)])
+    merged = DetectArrays(*[sel(p, l) for p, l in zip(primary, llr)])
+    return merged._replace(used_llr_fallback=use_llr)

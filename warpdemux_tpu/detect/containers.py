@@ -65,6 +65,10 @@ class DetectArrays(NamedTuple):
     rna_std: jnp.ndarray
     rna_med: jnp.ndarray
     rna_mad: jnp.ndarray
+    # method diagnostics (README.md:443-446 per-method results): True where
+    # the final boundaries came from the LLR fallback rather than the
+    # primary method
+    used_llr_fallback: jnp.ndarray = None
 
     def to_summary_frame(self, read_ids, full_lengths, in_lengths):
         """Rows for detected_boundaries/failed_reads CSVs
@@ -98,6 +102,11 @@ class DetectArrays(NamedTuple):
                 "rna_preloaded_std": g(self.rna_std),
                 "rna_preloaded_med": g(self.rna_med),
                 "rna_preloaded_mad": g(self.rna_mad),
+                "used_llr_fallback": (
+                    g(self.used_llr_fallback)
+                    if self.used_llr_fallback is not None
+                    else np.zeros(len(read_ids), bool)
+                ),
                 "fail_reason": fail_code_to_reason(g(self.fail_code)),
             }
         )

@@ -56,11 +56,53 @@ def parse_live_config(path: str | Path) -> tuple[SessionConfig, list[BalancerCon
     return session_cfg, balancer_cfgs, fracs, n_channels
 
 
+def _live_chemistry_overlay(session_cfg):
+    """Resolve the model's spc_live chemistry overlay ([streaming] +
+    [real_range]; reference config/utils.py:58-65) into the session config.
+    Models without an spc_live entry keep the session defaults."""
+    from dataclasses import replace
+
+    from warpdemux_tpu.config.utils import load_chemistry_dict
+    from warpdemux_tpu.detect.streaming import RealRangeConfig, StreamingConfig
+    from warpdemux_tpu.models.registry import model_config
+
+    try:
+        spc_live = model_config(session_cfg.model_name).get("spc_live")
+    except KeyError:
+        return session_cfg
+    if not spc_live:
+        return session_cfg
+    d = load_chemistry_dict(spc_live)
+    st, rr, core = d.get("streaming", {}), d.get("real_range", {}), d.get(
+        "core", {}
+    )
+
+    def rng(v, default):
+        return default if v is None else tuple(float(x) for x in v)
+
+    streaming = StreamingConfig(
+        min_obs_adapter=int(core.get("min_obs_adapter", 1500)),
+        search_increment_step=int(st.get("search_increment_step", 200)),
+        polya_window=int(st.get("polyA_window", 200)),
+        pA_var_window=int(st.get("pA_var_window", 500)),
+        pA_var_max=float(rng(st.get("pA_var_range"), (0.0, 30.0))[1]),
+        min_obs_post_loc=int(st.get("min_obs_post_loc", 100)),
+    )
+    real_range = RealRangeConfig(
+        local_range=rng(rr.get("local_range"), (7.0, 35.0)),
+        adapter_mad_range=rng(rr.get("adapter_mad_range"), (3.0, 12.0)),
+        mean_window=int(rr.get("mean_window", 300)),
+        max_obs_local_range=int(rr.get("max_obs_local_range", 5000)),
+    )
+    return replace(session_cfg, streaming=streaming, real_range=real_range)
+
+
 def build_session(config_file: str | Path, client=None, model=None):
     """Assemble a Session from a live TOML (dummy client by default)."""
     from warpdemux_tpu.models.registry import load_model
 
     session_cfg, bal_cfgs, fracs, n_channels = parse_live_config(config_file)
+    session_cfg = _live_chemistry_overlay(session_cfg)
     if model is None:
         model = load_model(session_cfg.model_name)
     balancers = BarcodeBalancers.from_configs(

@@ -18,6 +18,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+import jax
 import numpy as np
 import pandas as pd
 
@@ -257,8 +258,6 @@ def run_demux(config: Config, model=None) -> RunStats:
         if item is None:
             break
         (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
-        import jax
-
         try:
             res = step(keys, data, offset, scale, in_lens)
             # one bulk device->host fetch for the whole result pytree
