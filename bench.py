@@ -76,6 +76,10 @@ def synth_minibatch(rng, B, L):
 def main():
     import jax
 
+    from warpdemux_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from warpdemux_tpu.config.utils import get_model_spc_config
     from warpdemux_tpu.models.registry import load_model
     from warpdemux_tpu.pipeline.step import make_demux_step

@@ -20,3 +20,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from warpdemux_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -66,6 +66,35 @@ def test_prep_then_predict_matches_demux(tmp_path):
     assert (m["predicted_barcode_d"] == m["predicted_barcode_p"]).all()
 
 
+def test_trna_prep_cli_end_to_end(tmp_path):
+    """prep with the tRNA chemistry (start-peak detect + consensus
+    refinement) on real mRNA reads: must produce the extended boundary
+    columns and a sane fail taxonomy (mRNA reads mostly fail the tRNA
+    gates), never crash."""
+    out = tmp_path / "trna"
+    _cli(
+        "prep", "-i", POD5, "-o", str(out),
+        "-m", "WDX4_tRNA_rna004_v1_0", "-b", "64", "--no-create_subdir",
+        "--save_boundaries",
+    )
+    fails = _read_csvs(str(out / "failed_reads" / "*.csv.gz"))
+    bounds = _read_csvs(str(out / "boundaries" / "*.csv.gz"))
+    assert len(fails) + len(bounds) == 200
+    for df in (fails, bounds):
+        if len(df):
+            assert {"seg_cons_query_start", "seg_cons_query_end",
+                    "sig_barcode_start"} <= set(df.columns)
+    allowed = {
+        "", "signal too short", "no polyA found", "adapter too short",
+        "adapter too long", "mvs polya check failed",
+        "real signal check failed", "med shift check failed",
+        "open pore signal", "rna start peak not found",
+        "event segmentation failed", "consensus query outlier",
+    }
+    got = set(fails["fail_reason"].fillna(""))
+    assert got <= allowed, got - allowed
+
+
 def test_continue_resumes_without_reprocessing(tmp_path):
     out = tmp_path / "demux"
     _cli("demux", "-i", POD5, "-o", str(out), *COMMON)

@@ -92,8 +92,11 @@ def build_parser():
 def _init_jax(platform: str | None):
     import jax
 
+    from warpdemux_tpu.utils.jaxcache import enable_compilation_cache
+
     if platform:
         jax.config.update("jax_platforms", platform)
+    enable_compilation_cache()
     return jax
 
 

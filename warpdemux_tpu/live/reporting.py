@@ -118,6 +118,40 @@ class LiveReporter:
                 if v
             }
 
+    # ---- per-balancer time series + console tables (reference
+    # report_worker, live_balancing/reporting.py:112-575) ------------------
+
+    def report_balancer_stats(self, balancers) -> None:
+        """Append one row per balancer to balancer_stats_<runid>.csv."""
+        path = self.dir / self.csv_path.name.replace(
+            "barcode_balancing", "balancer_stats"
+        )
+        new = not path.exists()
+        with self._lock:
+            with open(path, "a", newline="") as fh:
+                w = csv.writer(fh)
+                if new:
+                    w.writerow(
+                        ["time", "balancer", "balance_type"]
+                        + [f"bc{i}" for i in range(len(balancers[0].stats))]
+                    )
+                for b in balancers:
+                    w.writerow(
+                        [f"{time.time():.3f}", b.name, b.config.balance_type]
+                        + [f"{s:.3f}" for s in b.stats]
+                    )
+
+    def balance_table(self, balancers) -> str:
+        """Human-readable per-balancer barcode statistics."""
+        lines = []
+        for b in balancers:
+            stats = " ".join(f"{s:8.1f}" for s in b.stats)
+            valid = "".join("+" if v else "-" for v in b.valid)
+            lines.append(
+                f"{b.name:<12} {b.config.balance_type:<18} [{valid}] {stats}"
+            )
+        return "\n".join(lines)
+
     def close(self):
         with self._lock:
             self._fh.flush()

@@ -258,20 +258,30 @@ class Session:
         )
 
     # ---- main loop -------------------------------------------------------
-    def run(self, batch_size: int = 64):
+    def run(self, batch_size: int = 64, save_every_sec: float = 10.0):
         cfg = self.config
         self._classifier_thread.start()
+        next_report = time.time() + save_every_sec
         try:
             while self.client.is_running:
                 chunks = self.client.get_read_chunks(
                     batch_size=batch_size, min_chunk_length=cfg.min_chunk_size
                 )
+                if time.time() >= next_report:
+                    # per-balancer time series + console balance table
+                    # (reference report_worker cadence)
+                    self.reporter.report_balancer_stats(
+                        self.balancers.balancers
+                    )
+                    print(self.reporter.balance_table(self.balancers.balancers))
+                    next_report = time.time() + save_every_sec
                 if not chunks:
                     time.sleep(0.005)
                     continue
                 for channel, read in chunks:
                     self._handle_chunk(channel, read)
         finally:
+            self.reporter.report_balancer_stats(self.balancers.balancers)
             self.shutdown()
 
     def _handle_chunk(self, channel, read):
