@@ -257,9 +257,30 @@ class Session:
             ro.time_per_step,
         )
 
+    def warmup(self):
+        """Pre-compile the latency lane (every signal-length bucket + the
+        classifier) so the first live reads don't pay XLA compiles."""
+        rng = np.random.default_rng(0)
+        for L in self._LEN_BUCKETS:
+            self._fingerprint_batch(
+                [rng.normal(80, 10, L).astype(np.float32)]
+            )
+        self.model.predict(
+            np.zeros(
+                (self.config.max_batch, self.model.fingerprint_len),
+                np.float32,
+            )
+        )
+
     # ---- main loop -------------------------------------------------------
-    def run(self, batch_size: int = 64, save_every_sec: float = 10.0):
+    def run(self, batch_size: int = 64, save_every_sec: float = 10.0,
+            warmup: bool = True):
         cfg = self.config
+        if warmup:
+            t0 = time.time()
+            self.warmup()
+            print(f"live lane warm-up: {time.time() - t0:.1f}s "
+                  f"({len(self._LEN_BUCKETS)} buckets)")
         self._classifier_thread.start()
         next_report = time.time() + save_every_sec
         try:
