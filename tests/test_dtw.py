@@ -72,3 +72,19 @@ def test_window_one_is_diagonal_only():
     assert np.isclose(dtw_distance_ref(a, b, 1, 0.7), want)
     got = dtw_distance_matrix(jnp.asarray(a[None]), jnp.asarray(b[None]), 1, 0.7)
     assert np.isclose(float(got[0, 0]), want)
+
+
+def test_distance_matrix_to_api():
+    """Drop-in API (reference parallel_distances.py:48-84): block_size and
+    n_jobs accepted and ignored; numpy in/out."""
+    import numpy as np
+
+    from warpdemux_tpu.ops import distance_matrix_to
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(6, 25)).astype(np.float32)
+    Y = rng.normal(size=(9, 25)).astype(np.float32)
+    D = distance_matrix_to(X, Y, window=15, penalty=0.1, block_size=500, n_jobs=4)
+    assert isinstance(D, np.ndarray) and D.shape == (6, 9)
+    D_self = distance_matrix_to(X, X)
+    np.testing.assert_allclose(np.diag(D_self), 0.0, atol=1e-6)
