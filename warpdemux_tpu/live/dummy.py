@@ -169,3 +169,48 @@ class DummyClient:
                 r.done = True
                 self.stopped.pop(r.read_id, None)
                 self.unblocked[r.read_id] = duration
+
+
+def debug_test(n_reads: int = 120, save_path: str = "/tmp/wdx_live_debug"):
+    """Run a full session per balancing strategy against the replay client
+    (the reference's de-facto live integration test, dummy.py:113-178).
+
+    Usage: python -m warpdemux_tpu.live.dummy [n_reads]
+    """
+    import dataclasses
+
+    from warpdemux_tpu.live.balancer import BalancerConfig, BarcodeBalancers
+    from warpdemux_tpu.live.session import Session, SessionConfig
+    from warpdemux_tpu.models.registry import load_model
+
+    model = load_model("WDX4_rna004_v1_0")
+    strategies = ["none", "reject_all", "adapter_count", "read_count",
+                  "base_normalization"]
+    for strat in strategies:
+        client = DummyClient(n_reads=n_reads)
+        bal_cfg = BalancerConfig(
+            balance_type=strat, balance_threshold=0.3, min_stat=2.0
+        )
+        balancers = BarcodeBalancers.from_configs(
+            model.n_classes - 1, [bal_cfg], [1.0], n_channels=126
+        )
+        scfg = SessionConfig(
+            model_name="WDX4_rna004_v1_0",
+            save_path=save_path,
+            run_id=f"debug_{strat}",
+        )
+        session = Session(client, scfg, balancers, model=model)
+        session.run(batch_size=32)
+        c = session.reporter.counters.summary()
+        print(f"{strat:<20} accept={c['accept']} reject={c['reject']}")
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    import jax as _jax
+
+    if "--tpu" not in _sys.argv:
+        _jax.config.update("jax_platforms", "cpu")
+    n = next((int(a) for a in _sys.argv[1:] if a.isdigit()), 120)
+    debug_test(n)
