@@ -95,6 +95,25 @@ def test_trna_prep_cli_end_to_end(tmp_path):
     assert got <= allowed, got - allowed
 
 
+def test_wdx10_demux_end_to_end(tmp_path):
+    """The largest shipped model (WDX10: 2601 support vectors, 10 barcodes
+    + noise) through the full CLI: probability columns for all 11 classes."""
+    out = tmp_path / "w10"
+    _cli("demux", "-i", POD5, "-o", str(out), "-m", "WDX10_rna004_v1_0",
+         "-b", "64", "--no-create_subdir")
+    preds = _read_csvs(str(out / "predictions" / "*.csv.gz"))
+    assert len(preds) > 50
+    import re
+
+    pcols = [c for c in preds.columns if re.fullmatch(r"p-?\d+", c)]
+    assert len(pcols) == 11
+    psum = preds[pcols].sum(axis=1)
+    assert ((psum - 1.0).abs() < 0.01).all()
+    assert preds["predicted_barcode"].isin(
+        [3, 4, 5, 6, 7, 8, 9, 10, 11, 12, -1]
+    ).all()
+
+
 def test_continue_resumes_without_reprocessing(tmp_path):
     out = tmp_path / "demux"
     _cli("demux", "-i", POD5, "-o", str(out), *COMMON)
