@@ -131,6 +131,16 @@ def main():
     dt2, _ = timed_pass()
     dt = min(dt1, dt2)
 
+    # compute-only reference point: one device-resident batch stepped
+    # repeatedly (what the chip sustains when the host link is not the
+    # bottleneck)
+    resident = tuple(jax.device_put(a) for a in batches[-1])
+    t0 = time.time()
+    for _ in range(4):
+        res = step(*resident)
+        jax.device_get((res.pred, res.conf, res.success))
+    compute_rps = 4 * B / (time.time() - t0)
+
     total = TIMED_BATCHES * B
     reads_per_s = total / dt
     print(
@@ -145,7 +155,8 @@ def main():
     )
     print(
         f"# backend={jax.default_backend()} batches={TIMED_BATCHES} B={B} "
-        f"pass={n_pass}/{total} elapsed={dt:.2f}s",
+        f"pass={n_pass}/{total} elapsed={dt:.2f}s "
+        f"compute_only={compute_rps:.0f} reads/s",
         file=sys.stderr,
     )
 

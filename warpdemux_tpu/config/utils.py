@@ -51,9 +51,14 @@ def get_model_spc_config(model_name: str, overrides: dict | None = None):
 
 def parse_export_overrides(pairs: list[str]) -> dict:
     """Parse `section.key=value` CLI overrides into a nested dict
-    (the reference's --export semantics, parser.py:253-307)."""
+    (the reference's --export semantics, parser.py:253-307). An argument
+    naming an existing .toml file is loaded and merged whole."""
     out: dict = {}
     for pair in pairs:
+        if pair.endswith(".toml") and Path(pair).exists():
+            with open(pair, "rb") as f:
+                out = _deep_merge(out, tomllib.load(f))
+            continue
         if "=" not in pair:
             raise ValueError(f"override {pair!r} is not key=value")
         key, val = pair.split("=", 1)
