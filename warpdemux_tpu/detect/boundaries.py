@@ -39,6 +39,13 @@ import jax.numpy as jnp
 from warpdemux_tpu.detect.containers import DetectArrays
 from warpdemux_tpu.ops.normalize import masked_median, masked_mad, masked_mean_std
 
+# Whether the detect stage's ranged medians dispatch to the Pallas VMEM
+# kernel. With False the XLA radix bisection is inlined into the detect
+# program — which this environment's remote TPU runtime miscompiles (the
+# program "executes" but every output buffer comes back InvalidArgument), so
+# the Pallas kernel is the production path.
+_PALLAS_MEDIANS = True
+
 
 @dataclass(frozen=True)
 class DetectConfig:
@@ -177,24 +184,58 @@ def _llr_split_window(x, start, W, min_split, n_valid):
     return jnp.clip(start + split, 0, n_valid)
 
 
-def _region_stats(x, pos, start, end):
-    mask = (pos >= start[:, None]) & (pos < end[:, None])
-    mean, std = masked_mean_std(x, mask)
-    med = masked_median(x, mask)
-    mad = masked_mad(x, mask, med)
-    empty = end <= start
+def _region_stats_fused(x, pos, starts, ends):
+    """mean/std/median/MAD for R contiguous regions of the same rows.
+
+    starts/ends: (R, B). All medians/MADs run through the fused radix-select
+    engine (one launch for all regions, Pallas VMEM kernel on TPU) instead of
+    per-region sorts. Returns four (R, B) arrays; empty regions yield 0.
+    """
+    from warpdemux_tpu.ops.select import range_median_mad
+
+    meds, mads = range_median_mad(
+        x, starts, ends, with_mad=True, pallas_ok=_PALLAS_MEDIANS
+    )
+    means, stds = [], []
+    for r in range(starts.shape[0]):
+        mask = (pos >= starts[r][:, None]) & (pos < ends[r][:, None])
+        mean, std = masked_mean_std(x, mask)
+        means.append(mean)
+        stds.append(std)
+    empty = ends <= starts
     fix = lambda a: jnp.where(empty, 0.0, a)
-    return fix(mean), fix(std), fix(jnp.nan_to_num(med)), fix(jnp.nan_to_num(mad))
+    return (
+        fix(jnp.stack(means)),
+        fix(jnp.stack(stds)),
+        fix(jnp.nan_to_num(meds)),
+        fix(jnp.nan_to_num(mads)),
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _range_medians(x, starts, ends, with_mad=False):
+    """Fused exact medians (optionally MADs) of [start, end) row ranges."""
+    from warpdemux_tpu.ops.select import range_median_mad
+
+    return range_median_mad(
+        x, starts, ends, with_mad=with_mad, pallas_ok=_PALLAS_MEDIANS
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_stats"))
 def detect_boundaries_batch(
     signals: jnp.ndarray,
     in_lens: jnp.ndarray,
     cfg: DetectConfig = DetectConfig(),
     cnn_params: dict | None = None,
+    with_stats: bool = True,
 ) -> DetectArrays:
-    """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch."""
+    """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch.
+
+    with_stats=False skips the full region summary statistics (only the
+    medians/MADs the fail gates need are computed); the fallback wrapper
+    uses it for the two candidate passes and fills the summary stats once
+    on the merged boundaries.
+    """
     x = signals.astype(jnp.float32)
     B, L = x.shape
     in_lens = in_lens.astype(jnp.int32)
@@ -232,12 +273,11 @@ def detect_boundaries_batch(
         adapter_start = jnp.minimum((pk_idx + cfg.sp_offset1) * ds, in_lens)
 
         # adapter level from the window right after the start
-        ad_proxy_mask = (
-            valid
-            & (pos >= adapter_start[:, None])
-            & (pos < adapter_start[:, None] + cfg.min_obs_adapter)
-        )
-        adapter_proxy_med = masked_median(x, ad_proxy_mask)
+        adapter_proxy_med = _range_medians(
+            x,
+            adapter_start[None],
+            jnp.minimum(adapter_start + cfg.min_obs_adapter, in_lens)[None],
+        )[0][0]
 
         search_from = (pk_idx + cfg.sp_offset2) * ds
         thr = cfg.sp_polya_scale * adapter_proxy_med[:, None]
@@ -312,8 +352,11 @@ def detect_boundaries_batch(
             logits, valid_ds, cfg.cnn_polya_cand_k
         )
 
-        ad_proxy_mask = valid & (pos < cfg.min_obs_adapter)
-        adapter_proxy_med = masked_median(x, ad_proxy_mask)
+        adapter_proxy_med = _range_medians(
+            x,
+            jnp.zeros((1, B), jnp.int32),
+            jnp.minimum(cfg.min_obs_adapter, in_lens)[None],
+        )[0][0]
         thr_s = cfg.polya_scale * adapter_proxy_med  # (B,)
 
         cand_pos = jnp.clip(starts_k * ds, 0, L - 1)  # (B, k) raw samples
@@ -350,8 +393,11 @@ def detect_boundaries_batch(
         # ---- [llr_boundaries] primary: sustained elevated+flat region ->
         # polyA; adapter = [sub-open-pore start, polyA start)
         # adapter level proxy: median of the first min_obs_adapter samples
-        ad_proxy_mask = valid & (pos < cfg.min_obs_adapter)
-        adapter_proxy_med = masked_median(x, ad_proxy_mask)
+        adapter_proxy_med = _range_medians(
+            x,
+            jnp.zeros((1, B), jnp.int32),
+            jnp.minimum(cfg.min_obs_adapter, in_lens)[None],
+        )[0][0]
 
         # poly(A) candidates: elevated + flat + fully inside the valid region
         thr = cfg.polya_scale * adapter_proxy_med[:, None]
@@ -403,12 +449,47 @@ def detect_boundaries_batch(
         adapter_start = below_pore
         adapter_end = polya_start
 
-    # ---- region statistics
-    ad_mean, ad_std, ad_med, ad_mad = _region_stats(x, pos, adapter_start, adapter_end)
-    pa_mean, pa_std, pa_med, pa_mad = _region_stats(x, pos, polya_start, polya_end)
+    # ---- region statistics (one fused ranged-median launch for all regions)
     rna_start = polya_end
     rna_end = in_lens
-    rna_mean, rna_std, rna_med, rna_mad = _region_stats(x, pos, rna_start, rna_end)
+    ms_end = jnp.minimum(rna_start + cfg.med_shift_window, in_lens)
+    if with_stats:
+        starts = jnp.stack([adapter_start, polya_start, rna_start])
+        ends = jnp.stack([adapter_end, polya_end, rna_end])
+        if cfg.detect_med_shift:
+            starts = jnp.concatenate([starts, rna_start[None]])
+            ends = jnp.concatenate([ends, ms_end[None]])
+        means, stds, meds, mads = _region_stats_fused(x, pos, starts, ends)
+        ad_mean, ad_std, ad_med, ad_mad = means[0], stds[0], meds[0], mads[0]
+        pa_mean, pa_std, pa_med, pa_mad = means[1], stds[1], meds[1], mads[1]
+        rna_mean, rna_std, rna_med, rna_mad = (
+            means[2], stds[2], meds[2], mads[2],
+        )
+        rna_med_w = meds[3] if cfg.detect_med_shift else None
+    else:
+        # gate-only statistics: medians for [mvs_polya]/[med_shift], the
+        # adapter MAD only when [real_range] needs it
+        starts = jnp.stack([adapter_start, polya_start])
+        ends = jnp.stack([adapter_end, polya_end])
+        if cfg.detect_med_shift:
+            starts = jnp.concatenate([starts, rna_start[None]])
+            ends = jnp.concatenate([ends, ms_end[None]])
+        gmeds, gmads = _range_medians(
+            x, starts, ends, with_mad=cfg.real_signal_check
+        )
+        empty = ends <= starts
+        gmeds = jnp.where(empty, 0.0, jnp.nan_to_num(gmeds))
+        ad_med, pa_med = gmeds[0], gmeds[1]
+        rna_med_w = gmeds[2] if cfg.detect_med_shift else None
+        ad_mad = (
+            jnp.where(empty[0], 0.0, jnp.nan_to_num(gmads[0]))
+            if cfg.real_signal_check
+            else jnp.zeros(B, jnp.float32)
+        )
+        zeros = jnp.zeros(B, jnp.float32)
+        ad_mean = ad_std = zeros
+        pa_mean = pa_std = pa_mad = zeros
+        rna_mean = rna_std = rna_med = rna_mad = zeros
 
     # ---- fail taxonomy (lower code = earlier gate)
     adapter_len = adapter_end - adapter_start
@@ -476,9 +557,6 @@ def detect_boundaries_batch(
         fail = set_fail(fail, rr_bad, 6)
 
     if cfg.detect_med_shift:
-        ms_end = jnp.minimum(rna_start + cfg.med_shift_window, in_lens)
-        ms_mask = (pos >= rna_start[:, None]) & (pos < ms_end[:, None])
-        rna_med_w = jnp.nan_to_num(masked_median(x, ms_mask))
         fail = set_fail(
             fail, (rna_med_w - ad_med) < cfg.med_shift_min, 7
         )
@@ -531,11 +609,20 @@ def detect_boundaries_with_fallback(
     minibatch alongside the primary and selects it row-wise wherever the
     primary failed — no dynamic re-batching, one compiled program.
     """
-    primary = detect_boundaries_batch(signals, in_lens, cfg, cnn_params)
     if cfg.method == "llr" or not cfg.fallback_to_llr:
-        return primary
+        return detect_boundaries_batch(signals, in_lens, cfg, cnn_params)
+    # Two gate-only candidate passes (no summary statistics), then the full
+    # region stats are computed once on the merged boundaries — statistics
+    # are a pure function of (signal, start, end), so this equals selecting
+    # the per-method stats row-wise while doing a third of the median work.
+    primary = detect_boundaries_batch(
+        signals, in_lens, cfg, cnn_params, with_stats=False
+    )
     llr = detect_boundaries_batch(
-        signals, in_lens, replace(cfg, method="llr", fallback_to_llr=False)
+        signals,
+        in_lens,
+        replace(cfg, method="llr", fallback_to_llr=False),
+        with_stats=False,
     )
     use_llr = ~primary.success
 
@@ -546,4 +633,27 @@ def detect_boundaries_with_fallback(
         return jnp.where(cond, l, p)
 
     merged = DetectArrays(*[sel(p, l) for p, l in zip(primary, llr)])
-    return merged._replace(used_llr_fallback=use_llr)
+    x = signals.astype(jnp.float32)
+    B, L = x.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    rna_end = in_lens.astype(jnp.int32)
+    starts = jnp.stack(
+        [merged.adapter_start, merged.polya_start, merged.rna_start]
+    )
+    ends = jnp.stack([merged.adapter_end, merged.polya_end, rna_end])
+    means, stds, meds, mads = _region_stats_fused(x, pos, starts, ends)
+    return merged._replace(
+        used_llr_fallback=use_llr,
+        adapter_mean=means[0],
+        adapter_std=stds[0],
+        adapter_med=meds[0],
+        adapter_mad=mads[0],
+        polya_mean=means[1],
+        polya_std=stds[1],
+        polya_med=meds[1],
+        polya_mad=mads[1],
+        rna_mean=means[2],
+        rna_std=stds[2],
+        rna_med=meds[2],
+        rna_mad=mads[2],
+    )

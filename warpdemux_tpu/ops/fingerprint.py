@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from warpdemux_tpu.ops.normalize import (
-    clip_outliers,
+    clip_outliers_prefix,
     masked_mean_std,
     masked_median,
     masked_mad,
@@ -122,7 +122,7 @@ def fingerprints_from_boundaries(
     B, A = adapter.shape
     amask = jnp.arange(A)[None, :] < a_len[:, None]
 
-    adapter = clip_outliers(adapter, amask, cfg.sig_norm_outlier_thresh)
+    adapter = clip_outliers_prefix(adapter, a_len, cfg.sig_norm_outlier_thresh)
     adapter = jnp.where(amask, adapter, 0.0)
     if cfg.extract_normalization != "none":
         adapter = jnp.where(
@@ -228,7 +228,7 @@ def fingerprints_consensus_refined(
     B, A = adapter.shape
     amask = jnp.arange(A)[None, :] < a_len[:, None]
 
-    adapter = clip_outliers(adapter, amask, cfg.sig_norm_outlier_thresh)
+    adapter = clip_outliers_prefix(adapter, a_len, cfg.sig_norm_outlier_thresh)
     adapter = jnp.where(amask, adapter, 0.0)
     if cfg.extract_normalization != "none":
         adapter = jnp.where(

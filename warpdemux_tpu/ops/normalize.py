@@ -27,8 +27,14 @@ def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median over valid lanes of the last axis. Shape: x[..., L] -> x[...].
 
     Matches np.median / np.nanmedian: averages the two middle order statistics
-    for even counts.
+    for even counts. float32 uses the sort-free radix-select engine
+    (ops/select.py — one masked compare+sum per bisection round instead of a
+    full bitonic sort); other dtypes (the float64 parity mode) keep the sort.
     """
+    if x.dtype == jnp.float32 and x.shape[-1] >= 512:
+        from warpdemux_tpu.ops.select import masked_median_select
+
+        return masked_median_select(x, mask)
     n = jnp.sum(mask, axis=-1)
     s = _masked_sort(x, mask)
     hi_idx = jnp.maximum(n // 2, 0)
@@ -114,4 +120,26 @@ def clip_outliers(
     mad = masked_mad(x, mask, med)
     lo = med - thresh * mad
     hi = med + thresh * mad
+    return jnp.clip(x, lo[..., None], hi[..., None])
+
+
+def clip_outliers_prefix(
+    x: jnp.ndarray, n_valid: jnp.ndarray, thresh: float
+) -> jnp.ndarray:
+    """clip_outliers where the valid lanes are the prefix [0, n_valid).
+
+    Dispatches the median+MAD to the fused ranged radix-select (Pallas VMEM
+    kernel on TPU) — the hot path of the fingerprint stage.
+    """
+    from warpdemux_tpu.ops.select import range_median_mad
+
+    B = x.shape[0]
+    med, mad = range_median_mad(
+        x,
+        jnp.zeros((1, B), jnp.int32),
+        n_valid.astype(jnp.int32)[None],
+        pallas_ok=False,  # embedded in the large fingerprint program
+    )
+    lo = med[0] - thresh * mad[0]
+    hi = med[0] + thresh * mad[0]
     return jnp.clip(x, lo[..., None], hi[..., None])

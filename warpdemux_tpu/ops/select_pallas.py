@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: exact median + MAD of row ranges, x read from HBM once.
+
+The XLA radix-select in ops/select.py re-reads the (B, L) signal from HBM on
+every one of its 32 bisection rounds (and again for the MAD). This kernel
+keeps an (8, L) row tile resident in VMEM and runs every round — sign pass,
+31 bit-building rounds, the upper-middle passes, and the whole MAD search —
+as pure VPU work on that tile, for R regions per row in one launch.
+
+Int ordering trick (all plain int32 compares, no uint needed): the map
+  key(x) = bits(x) >= 0 ? bits(x) : bits(x) ^ 0x7FFFFFFF
+is monotone from float32 total order onto int32 order (negative floats land
+on negative ints in increasing order, -0.0 -> -1 < 0 <- +0.0). The k-th
+smallest key is found by one sign-deciding count followed by 31 MSB-first
+bit-building rounds entirely inside the fixed sign half, where int32
+comparison is exact.
+
+Semantics match numpy median over x[b, start:end] (average of the two middle
+order statistics, NaN for empty ranges); MAD = median(|x - med|).
+
+Capability parity: the per-read numpy median/MAD statistics of the reference
+(warpdemux/sig_proc.py:70-96, :421-431; ADAPTed region stats,
+README.md:425-457).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I32_MIN = -(2**31)
+
+
+def _key32(x):
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(i >= 0, i, i ^ jnp.int32(0x7FFFFFFF))
+
+
+def _key32_to_float(k):
+    i = jnp.where(k >= 0, k, k ^ jnp.int32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _rank_select(key, mask, rank):
+    """int32 key of the rank-th smallest masked key per row.
+
+    key: (bt, L) int32 keys; mask: (bt, L) bool; rank: (bt, 1) int32.
+    All comparisons plain int32. Returns (bt, 1) int32 key.
+    """
+    kz = jnp.where(mask, key, jnp.int32(2**31 - 1))
+    ones = jnp.int32(1)
+
+    # sign pass: answer is negative iff rank < count(key < 0)
+    cnt_neg = jnp.sum(
+        jnp.where(mask & (key < 0), ones, 0), axis=1, keepdims=True
+    )
+    res0 = jnp.where(rank < cnt_neg, jnp.int32(_I32_MIN), jnp.int32(0))
+
+    def body(i, res):
+        bit = jnp.left_shift(jnp.int32(1), jnp.int32(30) - i)
+        t = res | bit
+        cnt = jnp.sum(jnp.where(kz < t, ones, 0), axis=1, keepdims=True)
+        return jnp.where(cnt <= rank, t, res)
+
+    return jax.lax.fori_loop(0, 31, body, res0)
+
+
+def _median(key, mask, n):
+    """(bt, 1) float32 median from keys; NaN where n == 0."""
+    rank_lo = jnp.maximum((n - 1) // 2, 0)
+    lo_key = _rank_select(key, mask, rank_lo)
+    lo = _key32_to_float(lo_key)
+    cnt_le = jnp.sum(
+        jnp.where(mask & (key <= lo_key), jnp.int32(1), 0),
+        axis=1,
+        keepdims=True,
+    )
+    nxt = jnp.min(
+        jnp.where(mask & (key > lo_key), key, jnp.int32(2**31 - 1)),
+        axis=1,
+        keepdims=True,
+    )
+    need_next = ((n % 2) == 0) & (cnt_le <= n // 2)
+    hi = jnp.where(need_next, _key32_to_float(nxt), lo)
+    med = jnp.where((n % 2) == 1, lo, 0.5 * (lo + hi))
+    return jnp.where(n > 0, med, jnp.float32(jnp.nan))
+
+
+def _kernel(R, with_mad, x_ref, se_ref, med_ref, mad_ref):
+    x = x_ref[...]  # (bt, L) f32
+    bt, L = x.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, L), 1)
+    key = _key32(x)
+    for r in range(R):
+        s = se_ref[:, r : r + 1]  # (bt, 1)
+        e = se_ref[:, R + r : R + r + 1]
+        mask = (pos >= s) & (pos < e)
+        n = jnp.sum(jnp.where(mask, jnp.int32(1), 0), axis=1, keepdims=True)
+        med = _median(key, mask, n)
+        med_ref[:, r : r + 1] = med
+        if with_mad:
+            y = jnp.abs(x - med)
+            ykey = _key32(y)
+            mad_ref[:, r : r + 1] = _median(ykey, mask, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("with_mad", "b_tile", "interpret")
+)
+def range_median_mad_pallas(
+    x: jnp.ndarray,
+    starts: jnp.ndarray,
+    ends: jnp.ndarray,
+    with_mad: bool = True,
+    b_tile: int = 8,
+    interpret: bool = False,
+):
+    """Exact median (+ MAD) over R contiguous ranges per row.
+
+    Args:
+      x: (B, L) float32.
+      starts, ends: (R, B) int32, clamped to [0, L].
+    Returns:
+      (meds (R, B) f32, mads (R, B) f32 or None).
+    """
+    B, L = x.shape
+    R = starts.shape[0]
+    Bp = -(-B // b_tile) * b_tile
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        starts = jnp.pad(starts, ((0, 0), (0, Bp - B)))
+        ends = jnp.pad(ends, ((0, 0), (0, Bp - B)))
+    se = jnp.concatenate(
+        [
+            jnp.clip(starts, 0, L).astype(jnp.int32).T,
+            jnp.clip(ends, 0, L).astype(jnp.int32).T,
+        ],
+        axis=1,
+    )  # (Bp, 2R)
+
+    kernel = functools.partial(_kernel, R, with_mad)
+    grid = (Bp // b_tile,)
+    out_shapes = (
+        jax.ShapeDtypeStruct((Bp, R), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, R), jnp.float32),
+    )
+    meds, mads = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 2 * R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_tile, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * L * R * (70 if with_mad else 35),
+            bytes_accessed=Bp * L * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.float32), se)
+    meds = meds.T[:, :B]
+    return (meds, mads.T[:, :B]) if with_mad else (meds, None)

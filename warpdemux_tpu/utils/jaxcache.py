@@ -14,6 +14,14 @@ import os
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT deserialization is unreliable here (machine-feature
+            # mismatch on reload corrupts executables: "supplied 2 buffers
+            # but compiled program expected 4"); CPU compiles are fast anyway.
+            return
+    except Exception:
+        return
     cache_dir = path or os.environ.get(
         "WDX_COMPILATION_CACHE", "/root/.cache/wdx_jax_cache"
     )
