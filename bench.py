@@ -104,7 +104,7 @@ def main():
     # runs twice and reports the better pass: the host<->device link is a
     # shared resource whose congestion varies across seconds, and the
     # steady-state throughput is the quantity of interest.
-    def timed_pass():
+    def timed_pass(depth=3):
         feed: queue.Queue = queue.Queue(maxsize=4)
 
         def producer():
@@ -115,15 +115,22 @@ def main():
         t0 = time.time()
         threading.Thread(target=producer, daemon=True).start()
         n_pass = 0
+        inflight: list = []  # keep `depth` minibatches in flight so the
+        # device never idles during the device->host fetch round trip
         while True:
             item = feed.get()
             if item is None:
                 break
             res = step(*item)
-            # one bulk fetch of the decision outputs closes the loop
-            pred, conf, success = jax.device_get(
-                (res.pred, res.conf, res.success)
-            )
+            inflight.append(res)
+            if len(inflight) >= depth:
+                r = inflight.pop(0)
+                pred, conf, success = jax.device_get(
+                    (r.pred, r.conf, r.success)
+                )
+                n_pass += int(success.sum())
+        for r in inflight:
+            pred, conf, success = jax.device_get((r.pred, r.conf, r.success))
             n_pass += int(success.sum())
         return time.time() - t0, n_pass
 
@@ -131,15 +138,39 @@ def main():
     dt2, _ = timed_pass()
     dt = min(dt1, dt2)
 
-    # compute-only reference point: one device-resident batch stepped
-    # repeatedly (what the chip sustains when the host link is not the
-    # bottleneck)
-    resident = tuple(jax.device_put(a) for a in batches[-1])
+    # compute-only reference point: device-resident int16 ADC batches
+    # stepped with 3 in flight — the per-read device compute a normally
+    # linked host (PCIe pod5 feed) would sustain. The VBZ wire variant
+    # exists purely to shrink this environment's tunneled host->device
+    # link; its on-device decode is not part of the deployment compute.
+    step_adc = make_demux_step(model, spc, input_format="adc")
+    resident = [
+        tuple(jax.device_put(a) for a in synth_minibatch(rng, B, L))
+        for _ in range(8)
+    ]
+    res = step_adc(*resident[0])
+    jax.device_get((res.pred, res.conf, res.success))  # warm/compile
     t0 = time.time()
-    for _ in range(4):
-        res = step(*resident)
-        jax.device_get((res.pred, res.conf, res.success))
-    compute_rps = 4 * B / (time.time() - t0)
+    inflight = []
+    for b in resident:
+        inflight.append(step_adc(*b))
+        if len(inflight) >= 3:
+            r = inflight.pop(0)
+            jax.device_get((r.pred, r.conf, r.success))
+    for r in inflight:
+        jax.device_get((r.pred, r.conf, r.success))
+    compute_rps = len(resident) * B / (time.time() - t0)
+
+    # host->device link bandwidth (the end-to-end wall on this tunnel)
+    blob = np.random.default_rng(1).integers(
+        -30000, 30000, (B, L), np.int16
+    )
+    np.asarray(jax.device_put(blob)[0, :1])  # warm
+    t0 = time.time()
+    hs = [jax.device_put(blob) for _ in range(4)]
+    np.asarray(hs[-1][0, :1])
+    link_mbps = 4 * blob.nbytes / (time.time() - t0) / 1e6
+    wire_per_read = (batches[-1][0].nbytes + batches[-1][1].nbytes) / B
 
     total = TIMED_BATCHES * B
     reads_per_s = total / dt
@@ -156,7 +187,11 @@ def main():
     print(
         f"# backend={jax.default_backend()} batches={TIMED_BATCHES} B={B} "
         f"pass={n_pass}/{total} elapsed={dt:.2f}s "
-        f"compute_only={compute_rps:.0f} reads/s",
+        f"compute_only={compute_rps:.0f} reads/s "
+        f"(= {compute_rps / BASELINE_READS_PER_S:.1f}x baseline) "
+        f"link={link_mbps:.0f} MB/s wire={wire_per_read:.0f} B/read "
+        f"(link-capped e2e ceiling ~"
+        f"{link_mbps * 1e6 / wire_per_read:.0f} reads/s)",
         file=sys.stderr,
     )
 

@@ -253,28 +253,8 @@ def run_demux(config: Config, model=None) -> RunStats:
         ).count_reads(config.input.files),
         label="pass" if not do_predict else "predicted",
     )
-    while True:
-        item = feed.get()
-        if item is None:
-            break
-        (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
-        try:
-            res = step(keys, data, offset, scale, in_lens)
-            # one bulk device->host fetch for the whole result pytree
-            # (array-by-array np.asarray costs a link round-trip per array)
-            res = jax.device_get(res)
-        except Exception:
-            # a poisoned minibatch must not kill the run (reference
-            # file_proc.py:1179-1184); its reads are dropped and logged
-            logging.exception(
-                "minibatch failed (%d reads dropped): %s...",
-                n,
-                read_ids[0] if len(read_ids) else "-",
-            )
-            stats.total += n
-            stats.failed += n
-            continue
-
+    def postprocess(res, n, full_lens, read_ids, in_lens):
+        nonlocal fpt_count
         success = np.asarray(res.success)[:n]
         fail_code = np.asarray(res.fail_code)[:n]
         stats.total += n
@@ -331,6 +311,55 @@ def run_demux(config: Config, model=None) -> RunStats:
             pred_acc.add(df)
             stats.predicted += len(df)
         progress.update()
+
+    # The main loop only dispatches device steps; a postprocessing thread
+    # fetches results and does all pandas/csv work. With `maxsize` results
+    # in flight the chip computes minibatch N+1 while N's outputs cross the
+    # link and the host re-chunks DataFrames (the reference overlaps the
+    # same way with saver threads, file_proc.py:1100-1153).
+    results: queue.Queue = queue.Queue(maxsize=3)
+
+    def postproc_worker():
+        while True:
+            item = results.get()
+            if item is None:
+                return
+            res, n, full_lens, read_ids, in_lens = item
+            try:
+                res = jax.device_get(res)
+                postprocess(res, n, full_lens, read_ids, in_lens)
+            except Exception:
+                # a poisoned minibatch must not kill the run (reference
+                # file_proc.py:1179-1184); its reads are dropped and logged
+                logging.exception(
+                    "minibatch failed (%d reads dropped): %s...",
+                    n,
+                    read_ids[0] if len(read_ids) else "-",
+                )
+                stats.total += n
+                stats.failed += n
+
+    pp_thread = threading.Thread(target=postproc_worker, daemon=True)
+    pp_thread.start()
+    while True:
+        item = feed.get()
+        if item is None:
+            break
+        (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
+        try:
+            res = step(keys, data, offset, scale, in_lens)
+        except Exception:
+            logging.exception(
+                "minibatch dispatch failed (%d reads dropped): %s...",
+                n,
+                read_ids[0] if len(read_ids) else "-",
+            )
+            stats.total += n
+            stats.failed += n
+            continue
+        results.put((res, n, full_lens, read_ids, in_lens))
+    results.put(None)
+    pp_thread.join()
 
     progress.close()
     pred_acc.close()
