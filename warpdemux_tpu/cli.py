@@ -48,6 +48,10 @@ def _add_common(p):
     p.add_argument("--save_fpts", action="store_true")
     p.add_argument("--create_subdir", action="store_true", default=True)
     p.add_argument("--no-create_subdir", dest="create_subdir", action="store_false")
+    p.add_argument("-j", "--devices", type=int, default=1,
+                   help="devices to shard each minibatch over "
+                        "(0 = all local devices; the reference's -j "
+                        "reads-parallelism mapped onto a jax Mesh)")
     p.add_argument("--jax-platform", default=None,
                    help="force a jax backend (e.g. cpu) before init")
     p.add_argument("--profile-dir", default=None,
@@ -166,6 +170,7 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
             bidx_pass=bidx[0],
             bidx_fail=bidx[1],
             bidx_predict=bidx[2],
+            devices=getattr(args, "devices", 1),
         ),
         task=TaskConfig(command=command, preprocess=True, predict=do_predict),
         classif=ClassifConfig(model_name=args.model_name),
@@ -262,6 +267,7 @@ def _cmd_continue(args):
         save_boundaries=manifest["output"]["save_boundaries"],
         save_fpts=manifest["output"]["save_fpts"],
         create_subdir=False,
+        devices=manifest["batch"].get("devices", 1),
     )
     return _run_batch_command(
         ns,

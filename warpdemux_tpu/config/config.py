@@ -59,6 +59,10 @@ class BatchConfig:
     bidx_pass: int = 0
     bidx_fail: int = 0
     bidx_predict: int = 0
+    # devices to shard each minibatch over (the reference's `-j` reads-
+    # parallelism, file_proc.py:1197-1245, mapped onto a jax Mesh):
+    # 1 = single device, 0 = all local devices, N = first N devices.
+    devices: int = 1
 
 
 @dataclass
@@ -95,6 +99,7 @@ class Config:
             "batch": {
                 "minibatch_size": self.batch.minibatch_size,
                 "batch_size_output": self.batch.batch_size_output,
+                "devices": self.batch.devices,
             },
             "output": {
                 "save_fpts": self.output.save_fpts,

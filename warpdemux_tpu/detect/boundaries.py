@@ -96,15 +96,30 @@ class DetectConfig:
     fallback_to_llr: bool = False
 
 
+def _shift_clamp(c, w):
+    """c[:, min(i + w, L)] for i in [0, L) where c is (B, L+1).
+
+    Pure slice + broadcast — the equivalent fancy-index gather
+    (c[:, idx_hi]) lowers to a real row gather on TPU, ~50x slower.
+    """
+    B, L1 = c.shape
+    L = L1 - 1
+    w = min(int(w), L)
+    if w == 0:
+        return c[:, :L]
+    tail = jnp.broadcast_to(c[:, -1:], (B, w - 1)) if w > 1 else c[:, :0]
+    return jnp.concatenate([c[:, w:], tail], axis=1)
+
+
 def _rolling_mean_var_fwd(x, w):
     """Forward rolling mean/variance: window [t, t+w) (cumsum-based, O(n))."""
     B, L = x.shape
     z = jnp.zeros((B, 1), x.dtype)
     c1 = jnp.concatenate([z, jnp.cumsum(x, axis=1)], axis=1)
     c2 = jnp.concatenate([z, jnp.cumsum(x * x, axis=1)], axis=1)
+    s1 = _shift_clamp(c1, w) - c1[:, :L]
+    s2 = _shift_clamp(c2, w) - c2[:, :L]
     idx_hi = jnp.minimum(jnp.arange(L) + w, L)
-    s1 = c1[:, idx_hi] - c1[:, :L]
-    s2 = c2[:, idx_hi] - c2[:, :L]
     n = (idx_hi - jnp.arange(L)).astype(x.dtype)[None, :]
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
@@ -294,8 +309,7 @@ def detect_boundaries_batch(
         cc = jnp.concatenate(
             [z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1
         )
-        idx_hi = jnp.minimum(jnp.arange(L) + Wp, L)
-        run_sum = cc[:, idx_hi] - cc[:, :L]
+        run_sum = _shift_clamp(cc, Wp) - cc[:, :L]
         sustained = (run_sum == Wp) & cand
         coarse_ps, found = _first_true(sustained, jnp.int32(0))
         sust_prev = jnp.concatenate(
@@ -410,8 +424,7 @@ def detect_boundaries_batch(
             [z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1
         )
         W = cfg.min_obs_polya
-        idx_hi = jnp.minimum(jnp.arange(L) + W, L)
-        run_sum = cc[:, idx_hi] - cc[:, :L]
+        run_sum = _shift_clamp(cc, W) - cc[:, :L]
         sustained = (run_sum == W) & cand
 
         coarse_ps, found = _first_true(sustained, jnp.int32(0))

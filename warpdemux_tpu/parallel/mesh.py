@@ -53,7 +53,7 @@ def make_sharded_demux_step(model, spc, mesh: Mesh, axis_name: str = "data"):
     inputs/outputs are sharded over `axis_name`, model arrays replicated, and
     the class-count statistics come back via an all-reduce (psum).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     from warpdemux_tpu.detect.boundaries import detect_boundaries_with_fallback
     from warpdemux_tpu.ops.fingerprint import fingerprints_from_boundaries
@@ -105,7 +105,7 @@ def make_sharded_demux_step(model, spc, mesh: Mesh, axis_name: str = "data"):
             rep,  # replicated CNN weights (empty dict for llr/start_peak)
         ),
         out_specs=(batch_spec, batch_spec, batch_spec, rep),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -138,11 +138,36 @@ def run_demux(config: Config, model=None) -> RunStats:
 
         model = load_model(config.classif.model_name)
 
+    # multi-chip: shard each minibatch over a data-parallel device mesh
+    # (the reference's only scaling axis is reads-parallelism over a
+    # process pool, file_proc.py:1197-1245; here the batch axis is sharded
+    # and model arrays replicated). devices=1 -> single-device step.
+    mesh = None
+    batch_sharding = None
+    n_dev = config.batch.devices
+    if n_dev != 1:
+        avail = len(jax.devices())
+        n_dev = avail if n_dev in (0, None) else min(n_dev, avail)
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from warpdemux_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_dev)
+            batch_sharding = NamedSharding(mesh, P("data"))
+            logging.info("sharding minibatches over %d devices", n_dev)
+
     step = make_demux_step(
-        model, spc, with_predict=do_predict, input_format="vbz"
+        model, spc, with_predict=do_predict, input_format="vbz", mesh=mesh
     )
 
     B = config.batch.minibatch_size
+    if mesh is not None and B % n_dev:
+        B = -(-B // n_dev) * n_dev
+        logging.info(
+            "minibatch_size rounded up to %d (multiple of %d devices)",
+            B, n_dev,
+        )
     L = spc.sig_preload_size
 
     feed: queue.Queue = queue.Queue(maxsize=4)
@@ -176,12 +201,17 @@ def run_demux(config: Config, model=None) -> RunStats:
                     offset = np.concatenate([offset, np.zeros(pad, np.float32)])
                     scale = np.concatenate([scale, np.zeros(pad, np.float32)])
                     in_lens = np.concatenate([in_lens, np.zeros(pad, np.int32)])
+                put = (
+                    (lambda a: jax.device_put(a, batch_sharding))
+                    if batch_sharding is not None
+                    else jax.device_put
+                )
                 dev = (
-                    jax.device_put(keys),
-                    jax.device_put(data),
-                    jax.device_put(offset),
-                    jax.device_put(scale),
-                    jax.device_put(in_lens),
+                    put(keys),
+                    put(data),
+                    put(offset),
+                    put(scale),
+                    put(in_lens),
                 )
                 feed.put((dev, n, full_lens, read_ids))
         except Exception:

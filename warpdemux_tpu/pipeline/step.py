@@ -49,6 +49,7 @@ def make_demux_step(
     spc: SigProcConfig,
     with_predict: bool = True,
     input_format: str = "pa",
+    mesh=None,
 ):
     """Build the demux step function.
 
@@ -74,8 +75,37 @@ def make_demux_step(
     behave erratically (4-25x the per-stage compile time); three stable
     ~10s compiles with device-resident handoffs cost only dispatch latency,
     which pipelining across minibatches hides.
+
+    `mesh`: optional jax.sharding.Mesh — each stage is shard_map'd over the
+    mesh's first axis (minibatch rows sharded, model arrays replicated; the
+    TPU-native analog of the reference's reads-parallel process pool,
+    file_proc.py:1197-1245). Minibatches must be padded to a multiple of
+    the mesh size; outputs come back batch-sharded and are fetched whole.
     """
     dcfg, fcfg = spc.detect, spc.fingerprint
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        _axis = mesh.axis_names[0]
+        _row = P(_axis)  # prefix spec: shard dim 0, replicate the rest
+
+        def _wrap(fn, n_in, out_specs):
+            return jax.jit(
+                jax.shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(_row,) * n_in,
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+            )
+
+    else:
+        _row = None
+
+        def _wrap(fn, n_in, out_specs):
+            return jax.jit(fn)
     cnn_params = None
     if dcfg.method == "cnn":
         from warpdemux_tpu.detect import cnn as cnn_mod
@@ -104,8 +134,7 @@ def make_demux_step(
         label_map, thresholds = model.label_map, model.thresholds
         gamma, pwr = model.gamma, model.pwr_dist
 
-        @jax.jit
-        def classify(fpts, success):
+        def _classify(fpts, success):
             fpts_safe = jnp.where(success[:, None], fpts, 0.0).astype(
                 jnp.float32
             )
@@ -115,8 +144,9 @@ def make_demux_step(
             pred, conf = svm_ops.process_probs(probs, label_map, thresholds)
             return pred, conf, probs
 
-    @jax.jit
-    def merge_fail(det_fail, fpt_ok, outlier):
+        classify = _wrap(_classify, 2, (_row, _row, _row))
+
+    def _merge_fail(det_fail, fpt_ok, outlier):
         # detect failures win; then "consensus query outlier" (13); any other
         # fingerprint failure is "event segmentation failed" (10)
         fail = jnp.where(
@@ -125,6 +155,8 @@ def make_demux_step(
             jnp.where((det_fail == 0) & ~fpt_ok, jnp.int32(10), det_fail),
         )
         return fail, fail == 0
+
+    merge_fail = _wrap(_merge_fail, 3, (_row, _row))
 
     refine = spc.seg_extra.consensus_refinement
     if refine:
@@ -135,10 +167,9 @@ def make_demux_step(
         )
         seg_extra = spc.seg_extra
 
-    if input_format == "adc":
+    if input_format in ("adc", "vbz"):
 
-        @jax.jit
-        def calibrate_and_detect(adc, offset, scale, in_lens):
+        def _calibrate_and_detect(adc, offset, scale, in_lens):
             signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
                 :, None
             ]
@@ -148,32 +179,51 @@ def make_demux_step(
                 ),
                 signals,
             )
+
+        calibrate_and_detect = _wrap(_calibrate_and_detect, 4, (_row, _row))
+
+    detect_only = _wrap(
+        lambda signals, in_lens: detect_boundaries_with_fallback(
+            signals, in_lens, dcfg, cnn_params
+        ),
+        2,
+        _row,
+    )
+
+    fingerprint_std = _wrap(
+        lambda signals, in_lens, a0, a1: fingerprints_from_boundaries(
+            signals, in_lens, a0, a1, fcfg
+        ),
+        4,
+        _row,
+    )
+    if refine:
+        fingerprint_cons = _wrap(
+            lambda signals, in_lens, a0, a1: fingerprints_consensus_refined(
+                signals, in_lens, a0, a1, query, fcfg, seg_extra
+            ),
+            4,
+            _row,
+        )
 
     if input_format == "vbz":
         from warpdemux_tpu.ops.vbz_device import vbz_decode_batch
 
-        @jax.jit
-        def calibrate_and_detect(adc, offset, scale, in_lens):
-            signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
-                :, None
-            ]
-            return (
-                detect_boundaries_with_fallback(
-                    signals, in_lens, dcfg, cnn_params
-                ),
-                signals,
-            )
+        decode = _wrap(
+            lambda keys, data: vbz_decode_batch(
+                keys, data, keys.shape[1] * 8
+            ).astype(jnp.int16),
+            2,
+            _row,
+        )
 
     def step(*args):
         if input_format == "vbz":
             keys, data, offset, scale, in_lens = args
             in_lens = jnp.asarray(in_lens, jnp.int32)
-            L = keys.shape[1] * 8
-            adc = vbz_decode_batch(
-                jnp.asarray(keys, jnp.uint8),
-                jnp.asarray(data, jnp.uint8),
-                L,
-            ).astype(jnp.int16)
+            adc = decode(
+                jnp.asarray(keys, jnp.uint8), jnp.asarray(data, jnp.uint8)
+            )
             det, signals = calibrate_and_detect(
                 adc,
                 jnp.asarray(offset, jnp.float32),
@@ -193,25 +243,17 @@ def make_demux_step(
             signals, in_lens = args
             signals = jnp.asarray(signals, jnp.float32)
             in_lens = jnp.asarray(in_lens, jnp.int32)
-            det = detect_boundaries_with_fallback(
-                signals, in_lens, dcfg, cnn_params
-            )
+            det = detect_only(signals, in_lens)
         if refine:
-            cons = fingerprints_consensus_refined(
-                signals,
-                in_lens,
-                det.adapter_start,
-                det.adapter_end,
-                query,
-                fcfg,
-                seg_extra,
+            cons = fingerprint_cons(
+                signals, in_lens, det.adapter_start, det.adapter_end
             )
             fpt = cons.base
             outlier = cons.outlier
         else:
             cons = None
-            fpt = fingerprints_from_boundaries(
-                signals, in_lens, det.adapter_start, det.adapter_end, fcfg
+            fpt = fingerprint_std(
+                signals, in_lens, det.adapter_start, det.adapter_end
             )
             outlier = jnp.zeros(signals.shape[0], bool)
         fail, success = merge_fail(det.fail_code, fpt.ok, outlier)
