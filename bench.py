@@ -146,19 +146,31 @@ def main():
     step_adc = make_demux_step(model, spc, input_format="adc")
     resident = [
         tuple(jax.device_put(a) for a in synth_minibatch(rng, B, L))
-        for _ in range(8)
+        for _ in range(16)
     ]
     res = step_adc(*resident[0])
     jax.device_get((res.pred, res.conf, res.success))  # warm/compile
-    t0 = time.time()
-    inflight = []
-    for b in resident:
-        inflight.append(step_adc(*b))
-        if len(inflight) >= 3:
-            r = inflight.pop(0)
+    # two fetcher threads: a single device_get stream serializes one
+    # ~25 ms tunnel round trip per minibatch; two in flight hide it
+    fetchq: queue.Queue = queue.Queue()
+
+    def fetcher():
+        while True:
+            r = fetchq.get()
+            if r is None:
+                return
             jax.device_get((r.pred, r.conf, r.success))
-    for r in inflight:
-        jax.device_get((r.pred, r.conf, r.success))
+
+    fetchers = [threading.Thread(target=fetcher) for _ in range(2)]
+    t0 = time.time()
+    for th in fetchers:
+        th.start()
+    for b in resident:
+        fetchq.put(step_adc(*b))
+    for _ in fetchers:
+        fetchq.put(None)
+    for th in fetchers:
+        th.join()
     compute_rps = len(resident) * B / (time.time() - t0)
 
     # host->device link bandwidth (the end-to-end wall on this tunnel)

@@ -36,7 +36,10 @@ def test_demux_end_to_end(tmp_path):
     preds = _read_csvs(str(out / "predictions" / "*.csv.gz"))
     fails = _read_csvs(str(out / "failed_reads" / "*.csv.gz"))
     assert len(preds) + len(fails) == 200
-    assert len(preds) > 50
+    # real-fixture pass rate pinned (VERDICT r1 #4; measured 2026-08-19:
+    # 99 of 200 reads pass detect+fingerprint with cnn+llr-fallback —
+    # exact counts pinned in tests/test_real_boundaries.py)
+    assert 90 <= len(preds) <= 110
     assert set(preds.columns) >= {
         "#read_id", "predicted_barcode", "confidence_score",
         "p03", "p04", "p05", "p07", "p-1",

@@ -1,0 +1,133 @@
+"""Real-read boundary-detection regression pins (VERDICT r1 item 4).
+
+Runs the llr / cnn / production (cnn + LLR-fallback) detectors over the
+first real fixture (200 RNA004 reads) and pins the measured behavior:
+pass rates, boundary agreement, and — through fingerprint + DTW + SVM —
+barcode-call agreement. The key invariant: cnn and llr NEVER assign two
+different real barcodes to the same read; every disagreement is a
+confidence-threshold noise (-1) flip. Reference behavior docs:
+/root/reference/README.md:336-349 (method fallbacks), :425-457 (outputs).
+
+Numbers measured by tools/validate_boundaries.py on the 800-read fixture
+set; this test pins the 200-read subset exactly (CPU math is
+deterministic).
+"""
+
+from dataclasses import replace
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+POD5 = "/root/reference/test_data/live_balancing/small_pod5_0.pod5"
+pytestmark = pytest.mark.skipif(
+    not Path(POD5).exists(), reason="pod5 fixture unavailable"
+)
+
+L = 10000
+
+
+@pytest.fixture(scope="module")
+def real_batch():
+    from warpdemux_tpu.io.pod5 import yield_signal_batches
+
+    sigs, in_lens = [], []
+    for s, n, _fl, _ids in yield_signal_batches(
+        [POD5], None, None, batch_size=200, preload_size=L
+    ):
+        sigs.append(s)
+        in_lens.append(n)
+    return np.concatenate(sigs), np.concatenate(in_lens)
+
+
+@pytest.fixture(scope="module")
+def detections(real_batch):
+    import jax.numpy as jnp
+
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.detect import cnn as cnn_mod
+    from warpdemux_tpu.detect.boundaries import (
+        detect_boundaries_batch,
+        detect_boundaries_with_fallback,
+    )
+
+    sigs, in_lens = real_batch
+    spc = get_model_spc_config("WDX4_rna004_v1_0")
+    dcfg = spc.detect
+    cnn_params = cnn_mod.load_params(spc.cnn_model_name)
+    out = {}
+    out["llr"] = detect_boundaries_batch(
+        jnp.asarray(sigs), jnp.asarray(in_lens),
+        replace(dcfg, method="llr", fallback_to_llr=False),
+    )
+    out["cnn"] = detect_boundaries_batch(
+        jnp.asarray(sigs), jnp.asarray(in_lens),
+        replace(dcfg, method="cnn", fallback_to_llr=False), cnn_params,
+    )
+    out["prod"] = detect_boundaries_with_fallback(
+        jnp.asarray(sigs), jnp.asarray(in_lens), dcfg, cnn_params
+    )
+    return out
+
+
+def test_real_pass_rates_pinned(detections):
+    # measured on 2026-08-19 with rna004_cnn_real_v2 weights; any change
+    # to detect/fingerprint numerics must be deliberate
+    assert int(np.asarray(detections["llr"].success).sum()) == 99
+    assert int(np.asarray(detections["cnn"].success).sum()) == 86
+    assert int(np.asarray(detections["prod"].success).sum()) == 101
+
+
+def test_real_boundary_agreement(detections):
+    llr, cnn = detections["llr"], detections["cnn"]
+    both = np.asarray(llr.success) & np.asarray(cnn.success)
+    assert both.sum() >= 80
+    d_ps = np.abs(
+        np.asarray(cnn.polya_start)[both] - np.asarray(llr.polya_start)[both]
+    )
+    # most both-pass reads get the sample-exact same polyA start
+    assert np.median(d_ps) == 0
+    assert (d_ps <= 10).mean() >= 0.85
+
+
+def test_real_barcode_call_agreement(real_batch, detections):
+    import jax.numpy as jnp
+
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.models.registry import load_model
+    from warpdemux_tpu.ops import svm as svm_ops
+    from warpdemux_tpu.ops.dtw import dtw_distance_matrix
+    from warpdemux_tpu.ops.fingerprint import fingerprints_from_boundaries
+
+    sigs, in_lens = real_batch
+    spc = get_model_spc_config("WDX4_rna004_v1_0")
+    model = load_model("WDX4_rna004_v1_0")
+
+    preds = {}
+    for name in ("llr", "prod"):
+        det = detections[name]
+        fpt = fingerprints_from_boundaries(
+            jnp.asarray(sigs), jnp.asarray(in_lens),
+            det.adapter_start, det.adapter_end, spc.fingerprint,
+        )
+        ok = np.asarray(det.success & fpt.ok)
+        f = np.where(ok[:, None], np.asarray(fpt.fpt), 0.0).astype(np.float32)
+        D = dtw_distance_matrix(
+            jnp.asarray(f), model.X_sv, model.window, model.penalty
+        )
+        probs = svm_ops.predict_proba(
+            svm_ops.pdist_kernel(D, model.gamma, model.pwr_dist), model.params
+        )
+        p, _ = svm_ops.process_probs(probs, model.label_map, model.thresholds)
+        p = np.asarray(p).copy()
+        p[~ok] = -2
+        preds[name] = p
+
+    pl, pp = preds["llr"], preds["prod"]
+    both = (pl >= -1) & (pp >= -1)
+    assert both.sum() >= 95
+    # no read is ever assigned two different REAL barcodes by the two
+    # methods — disagreements are only confidence -1 flips
+    hard = ((pl != pp) & (pl >= 0) & (pp >= 0) & both).sum()
+    assert hard == 0
+    assert (pl[both] == pp[both]).mean() >= 0.93

@@ -38,7 +38,9 @@ def test_rna002_prep_step_runs():
     step = make_demux_step(model, spc, with_predict=True)
     rng = np.random.default_rng(0)
     sigs, lens, _ = synth_batch(rng, 4, L=15000)
-    out = step(sigs, lens)
+    import jax
+
+    out = jax.device_get(step(sigs, lens)).unpack()
     assert np.asarray(out.pred).shape == (4,)
     ok = np.asarray(out.success)
     pred = np.asarray(out.pred)[ok]

@@ -122,7 +122,9 @@ def test_trna_prep_step_end_to_end():
     spc = load_chemistry_config("rna004_130bps@v1.0_tRNA")
     step = make_demux_step(None, spc, with_predict=False)
     sigs, lens, _ = _batch(rng, 8, adapter_len=3200, polya_len=500)
-    out = step(sigs, lens)
+    import jax
+
+    out = jax.device_get(step(sigs, lens)).unpack()
     assert out.consensus is not None
     fail = np.asarray(out.fail_code)
     assert set(np.unique(fail)) <= {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 13}

@@ -90,8 +90,10 @@ def test_vbz_step_matches_adc_step():
         iter(yield_vbz_batches([POD5], None, None, batch_size=32,
                                preload_size=10000))
     )
-    ra = step_a(*ab[:4])
-    rv = step_v(*vb[:5])
+    import jax
+
+    ra = jax.device_get(step_a(*ab[:4])).unpack()
+    rv = jax.device_get(step_v(*vb[:5])).unpack()
     np.testing.assert_array_equal(np.asarray(ra.pred), np.asarray(rv.pred))
     np.testing.assert_array_equal(
         np.asarray(ra.fail_code), np.asarray(rv.fail_code)

@@ -73,6 +73,58 @@ def make_batch(rng, B):
     return sigs, lens, labels
 
 
+def load_real_labeled(limit=None):
+    """Real fixture reads labeled by the LLR detector (VERDICT r1 #4).
+
+    LLR is the reference's most sensitive method and its fallback target
+    (README.md:336-349); reads it fails are masked out entirely. Returns
+    (sigs, lens, labels) like make_batch.
+    """
+    from dataclasses import replace
+    from pathlib import Path as P
+
+    import jax.numpy as jnp
+
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.detect.boundaries import detect_boundaries_batch
+    from warpdemux_tpu.io.pod5 import yield_signal_batches
+
+    dcfg = replace(
+        get_model_spc_config("WDX4_rna004_v1_0").detect,
+        method="llr",
+        fallback_to_llr=False,
+    )
+    fixtures = sorted(
+        P("/root/reference/test_data/live_balancing").glob("small_pod5_*.pod5")
+    )
+    all_s, all_n, all_l = [], [], []
+    for f in fixtures:
+        for sigs, in_lens, _fl, _ids in yield_signal_batches(
+            [str(f)], None, None, batch_size=200, preload_size=L
+        ):
+            det = detect_boundaries_batch(
+                jnp.asarray(sigs), jnp.asarray(in_lens), dcfg
+            )
+            ok = np.asarray(det.success)
+            ps = np.asarray(det.polya_start)
+            pe = np.asarray(det.polya_end)
+            g = np.arange(L // DS)[None, :] * DS
+            lab = np.where(
+                g < ps[:, None], 0, np.where(g < pe[:, None], 1, 2)
+            ).astype(np.int32)
+            lab[g >= in_lens[:, None]] = -1
+            lab[~ok] = -1
+            all_s.append(sigs[ok])
+            all_n.append(in_lens[ok])
+            all_l.append(lab[ok])
+    s = np.concatenate(all_s)
+    n = np.concatenate(all_n)
+    l = np.concatenate(all_l)
+    if limit:
+        s, n, l = s[:limit], n[:limit], l[:limit]
+    return s, n, l
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -80,9 +132,18 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="rna004_cnn_synth_v1")
+    ap.add_argument(
+        "--real-frac", type=float, default=0.0,
+        help="fraction of each batch drawn from LLR-labeled real fixture "
+             "reads (0 = synthetic only)",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
+    real = None
+    if args.real_frac > 0:
+        real = load_real_labeled()
+        print(f"loaded {len(real[0])} LLR-labeled real reads")
     params = cnn.init_params(rng)
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
@@ -111,6 +172,13 @@ def main():
 
     for step in range(args.steps):
         sigs, lens, labels = make_batch(rng, args.batch)
+        if real is not None:
+            k = int(round(args.real_frac * args.batch))
+            if k:
+                idx = rng.integers(0, len(real[0]), k)
+                sigs[:k] = real[0][idx]
+                lens[:k] = real[1][idx]
+                labels[:k] = real[2][idx]
         params, opt_state, loss, acc = update(
             params, opt_state, jnp.asarray(sigs), jnp.asarray(lens),
             jnp.asarray(labels),

@@ -356,7 +356,7 @@ def run_demux(config: Config, model=None) -> RunStats:
                 return
             res, n, full_lens, read_ids, in_lens = item
             try:
-                res = jax.device_get(res)
+                res = jax.device_get(res).unpack()
                 postprocess(res, n, full_lens, read_ids, in_lens)
             except Exception:
                 # a poisoned minibatch must not kill the run (reference

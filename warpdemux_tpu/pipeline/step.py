@@ -33,6 +33,14 @@ from warpdemux_tpu.ops import svm as svm_ops
 from warpdemux_tpu.config.sig_proc import SigProcConfig
 
 
+class ConsensusView(NamedTuple):
+    """Consensus-match columns of the tRNA path (host view)."""
+
+    seg_query_start: np.ndarray
+    seg_query_end: np.ndarray
+    sig_barcode_start: np.ndarray
+
+
 class DemuxStepOutput(NamedTuple):
     detect: DetectArrays
     fpt: FingerprintArrays
@@ -41,7 +49,89 @@ class DemuxStepOutput(NamedTuple):
     pred: jnp.ndarray  # (B,) int32 barcode (-1 noise; only valid if success)
     conf: jnp.ndarray  # (B,)
     probs: jnp.ndarray  # (B, k)
-    consensus: ConsensusFingerprintArrays | None = None  # tRNA path only
+    consensus: ConsensusFingerprintArrays | ConsensusView | None = None
+
+
+class PackedStepOutput(NamedTuple):
+    """Device outputs of one demux step, packed into few buffers.
+
+    Every per-read scalar column is stacked into a handful of (B, C)
+    arrays: remote-attached devices pay a per-buffer round-trip cost on
+    every dispatch/fetch (measured ~6 ms per minibatch for the ~40 unpacked
+    columns on this tunnel), and fewer/larger D2H transfers are cheaper on
+    any transport. `unpack()` restores the full DemuxStepOutput view on the
+    host after device_get.
+    """
+
+    det_i: jnp.ndarray  # (B, 8) i32: a_start, a_end, p_start, p_end,
+    #                     p_cands, rna_start, rna_len, det_fail
+    det_f: jnp.ndarray  # (B, 12) f32: adapter/polya/rna x mean/std/med/mad
+    flags: jnp.ndarray  # (B, 3) i32: used_llr_fallback, fpt_ok, merged_fail
+    fpt_f: jnp.ndarray  # (B, k+6) f32: fpt | dt_med, dt_mad, ev mean/std/med/mad
+    dwell: jnp.ndarray  # (B, k) i32
+    cons_i: jnp.ndarray | None  # (B, 3) i32 (tRNA consensus path only)
+    success: jnp.ndarray  # (B,) bool
+    pred: jnp.ndarray  # (B,) i32
+    conf: jnp.ndarray  # (B,) f32
+    probs: jnp.ndarray  # (B, n_classes) f32
+
+    def unpack(self) -> DemuxStepOutput:
+        """Host-side view reconstruction (call after device_get)."""
+        det_i = np.asarray(self.det_i)
+        det_f = np.asarray(self.det_f)
+        flags = np.asarray(self.flags)
+        fpt_f = np.asarray(self.fpt_f)
+        dwell = np.asarray(self.dwell)
+        k = dwell.shape[1]
+        det = DetectArrays(
+            success=det_i[:, 7] == 0,
+            fail_code=det_i[:, 7],
+            adapter_start=det_i[:, 0],
+            adapter_end=det_i[:, 1],
+            polya_start=det_i[:, 2],
+            polya_end=det_i[:, 3],
+            polya_candidates=det_i[:, 4],
+            adapter_mean=det_f[:, 0],
+            adapter_std=det_f[:, 1],
+            adapter_med=det_f[:, 2],
+            adapter_mad=det_f[:, 3],
+            polya_mean=det_f[:, 4],
+            polya_std=det_f[:, 5],
+            polya_med=det_f[:, 6],
+            polya_mad=det_f[:, 7],
+            rna_start=det_i[:, 5],
+            rna_len=det_i[:, 6],
+            rna_mean=det_f[:, 8],
+            rna_std=det_f[:, 9],
+            rna_med=det_f[:, 10],
+            rna_mad=det_f[:, 11],
+            used_llr_fallback=flags[:, 0].astype(bool),
+        )
+        fpt = FingerprintArrays(
+            ok=flags[:, 1].astype(bool),
+            fpt=fpt_f[:, :k],
+            dwell=dwell,
+            adapter_dt_med=fpt_f[:, k + 0],
+            adapter_dt_mad=fpt_f[:, k + 1],
+            adapter_event_mean=fpt_f[:, k + 2],
+            adapter_event_std=fpt_f[:, k + 3],
+            adapter_event_med=fpt_f[:, k + 4],
+            adapter_event_mad=fpt_f[:, k + 5],
+        )
+        cons = None
+        if self.cons_i is not None:
+            ci = np.asarray(self.cons_i)
+            cons = ConsensusView(ci[:, 0], ci[:, 1], ci[:, 2])
+        return DemuxStepOutput(
+            detect=det,
+            fpt=fpt,
+            fail_code=flags[:, 2],
+            success=np.asarray(self.success),
+            pred=np.asarray(self.pred),
+            conf=np.asarray(self.conf),
+            probs=np.asarray(self.probs),
+            consensus=cons,
+        )
 
 
 def make_demux_step(
@@ -68,13 +158,11 @@ def make_demux_step(
 
     `model` is a DTWSVMModel (or None for prep-only runs).
 
-    The chain runs as three separately-jitted dispatches (detect ->
-    fingerprint -> classify) with all intermediates staying on device.
-    Fusing the whole chain into one XLA program compiles fine functionally
-    but makes this environment's remote TPU compiler take minutes and
-    behave erratically (4-25x the per-stage compile time); three stable
-    ~10s compiles with device-resident handoffs cost only dispatch latency,
-    which pipelining across minibatches hides.
+    Single-device, the whole calibrate -> detect -> fingerprint -> classify
+    chain is ONE XLA program: every extra dispatch costs a host round trip
+    on remote-attached devices, and with the sort-free medians the fused
+    program compiles stably. Only the variable-width VBZ decode stays a
+    separate (tiny) program so the width ladder never recompiles the chain.
 
     `mesh`: optional jax.sharding.Mesh — each stage is shard_map'd over the
     mesh's first axis (minibatch rows sharded, model arrays replicated; the
@@ -217,6 +305,158 @@ def make_demux_step(
             _row,
         )
 
+    def _pack(det, fpt, cons, fail, success, pred, conf, probs):
+        i32 = lambda a: a.astype(jnp.int32)
+        f32 = lambda a: a.astype(jnp.float32)
+        det_i = jnp.stack(
+            [
+                i32(det.adapter_start),
+                i32(det.adapter_end),
+                i32(det.polya_start),
+                i32(det.polya_end),
+                i32(det.polya_candidates),
+                i32(det.rna_start),
+                i32(det.rna_len),
+                i32(det.fail_code),
+            ],
+            axis=1,
+        )
+        det_f = jnp.stack(
+            [
+                f32(det.adapter_mean), f32(det.adapter_std),
+                f32(det.adapter_med), f32(det.adapter_mad),
+                f32(det.polya_mean), f32(det.polya_std),
+                f32(det.polya_med), f32(det.polya_mad),
+                f32(det.rna_mean), f32(det.rna_std),
+                f32(det.rna_med), f32(det.rna_mad),
+            ],
+            axis=1,
+        )
+        ulf = (
+            det.used_llr_fallback
+            if det.used_llr_fallback is not None
+            else jnp.zeros_like(fail)
+        )
+        flags = jnp.stack([i32(ulf), i32(fpt.ok), i32(fail)], axis=1)
+        fpt_f = jnp.concatenate(
+            [
+                f32(fpt.fpt),
+                jnp.stack(
+                    [
+                        f32(fpt.adapter_dt_med), f32(fpt.adapter_dt_mad),
+                        f32(fpt.adapter_event_mean), f32(fpt.adapter_event_std),
+                        f32(fpt.adapter_event_med), f32(fpt.adapter_event_mad),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=1,
+        )
+        cons_i = (
+            jnp.stack(
+                [
+                    i32(cons.seg_query_start),
+                    i32(cons.seg_query_end),
+                    i32(cons.sig_barcode_start),
+                ],
+                axis=1,
+            )
+            if cons is not None
+            else None
+        )
+        return PackedStepOutput(
+            det_i=det_i,
+            det_f=det_f,
+            flags=flags,
+            fpt_f=fpt_f,
+            dwell=i32(fpt.dwell),
+            cons_i=cons_i,
+            success=success,
+            pred=i32(pred),
+            conf=f32(conf),
+            probs=f32(probs),
+        )
+
+    def _tail(signals, in_lens, det):
+        """fingerprint -> merge -> classify on traced values."""
+        if refine:
+            cons = fingerprint_cons(
+                signals, in_lens, det.adapter_start, det.adapter_end
+            )
+            fpt = cons.base
+            outlier = cons.outlier
+        else:
+            cons = None
+            fpt = fingerprint_std(
+                signals, in_lens, det.adapter_start, det.adapter_end
+            )
+            outlier = jnp.zeros(signals.shape[0], bool)
+        fail, success = merge_fail(det.fail_code, fpt.ok, outlier)
+
+        if with_predict and model is not None:
+            pred, conf, probs = classify(fpt.fpt, success)
+        else:
+            B = signals.shape[0]
+            pred = jnp.full(B, -1, jnp.int32)
+            conf = jnp.zeros(B, jnp.float32)
+            probs = jnp.zeros((B, 1), jnp.float32)
+
+        return (det, fpt, cons, fail, success, pred, conf, probs)
+
+    if mesh is None:
+        # one XLA program for the whole calibrate->detect->fingerprint->
+        # classify chain: each extra dispatch costs a host->device round
+        # trip on remote-attached devices (three dispatches measured 31k
+        # reads/s vs 43k for the fused program on this tunnel). The
+        # variable-width VBZ decode stays its own (tiny) program so the
+        # width ladder doesn't recompile the chain.
+        @jax.jit
+        def chain_pa(signals, in_lens):
+            det = detect_boundaries_with_fallback(
+                signals, in_lens, dcfg, cnn_params
+            )
+            return _pack(*_tail(signals, in_lens, det))
+
+        @jax.jit
+        def chain_adc(adc, offset, scale, in_lens):
+            signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
+                :, None
+            ]
+            det = detect_boundaries_with_fallback(
+                signals, in_lens, dcfg, cnn_params
+            )
+            return _pack(*_tail(signals, in_lens, det))
+
+        def step(*args):
+            if input_format == "vbz":
+                keys, data, offset, scale, in_lens = args
+                adc = decode(
+                    jnp.asarray(keys, jnp.uint8), jnp.asarray(data, jnp.uint8)
+                )
+                return chain_adc(
+                    adc,
+                    jnp.asarray(offset, jnp.float32),
+                    jnp.asarray(scale, jnp.float32),
+                    jnp.asarray(in_lens, jnp.int32),
+                )
+            if input_format == "adc":
+                adc, offset, scale, in_lens = args
+                return chain_adc(
+                    jnp.asarray(adc, jnp.int16),
+                    jnp.asarray(offset, jnp.float32),
+                    jnp.asarray(scale, jnp.float32),
+                    jnp.asarray(in_lens, jnp.int32),
+                )
+            signals, in_lens = args
+            return chain_pa(
+                jnp.asarray(signals, jnp.float32),
+                jnp.asarray(in_lens, jnp.int32),
+            )
+
+        return step
+
+    pack_w = _wrap(_pack, 8, _row)
+
     def step(*args):
         if input_format == "vbz":
             keys, data, offset, scale, in_lens = args
@@ -244,37 +484,6 @@ def make_demux_step(
             signals = jnp.asarray(signals, jnp.float32)
             in_lens = jnp.asarray(in_lens, jnp.int32)
             det = detect_only(signals, in_lens)
-        if refine:
-            cons = fingerprint_cons(
-                signals, in_lens, det.adapter_start, det.adapter_end
-            )
-            fpt = cons.base
-            outlier = cons.outlier
-        else:
-            cons = None
-            fpt = fingerprint_std(
-                signals, in_lens, det.adapter_start, det.adapter_end
-            )
-            outlier = jnp.zeros(signals.shape[0], bool)
-        fail, success = merge_fail(det.fail_code, fpt.ok, outlier)
-
-        if with_predict and model is not None:
-            pred, conf, probs = classify(fpt.fpt, success)
-        else:
-            B = signals.shape[0]
-            pred = jnp.full(B, -1, jnp.int32)
-            conf = jnp.zeros(B, jnp.float32)
-            probs = jnp.zeros((B, 1), jnp.float32)
-
-        return DemuxStepOutput(
-            detect=det,
-            fpt=fpt,
-            fail_code=fail,
-            success=success,
-            pred=pred,
-            conf=conf,
-            probs=probs,
-            consensus=cons,
-        )
+        return pack_w(*_tail(signals, in_lens, det))
 
     return step
