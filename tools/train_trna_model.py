@@ -1,0 +1,146 @@
+"""Train the stand-in tRNA classification model (VERDICT r1 item 5).
+
+The reference registers two tRNA models (WDX4_tRNA / WDX4b_tRNA) whose
+joblib artifacts are missing blobs upstream
+(/root/reference/.MISSING_LARGE_BLOBS:4-5), so the tRNA predict path had no
+end-to-end model. This trains a DTW_SVM of the same form as every shipped
+reference model (SVC(kernel='precomputed', probability=True,
+class_weight='balanced', random_state=9) over K = exp(-DTW), window=15,
+penalty=0.1; SURVEY 2.6) on consensus-refined fingerprints produced by OUR
+tRNA prep path from synthetic barcoded tRNA reads
+(utils/synthetic.synth_trna_barcoded_read) — plus a trained noise class,
+matching the reference's noise-class design.
+
+Usage: python tools/train_trna_model.py [--per-bc 150] [--out WDX4_tRNA_rna004_v1_0]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+L = 10000
+BARCODES = [3, 4, 5, 7]  # registry which_barcodes for WDX4_tRNA
+
+
+def make_fingerprints(rng, per_bc, noise_n, step, pats):
+    sig_rows, labels = [], []
+    for ci in range(len(BARCODES)):
+        for _ in range(per_bc):
+            sig_rows.append((pats[ci], ci))
+    for _ in range(noise_n):
+        sig_rows.append((rng.normal(0, 1, pats.shape[1]).astype(np.float32),
+                         len(BARCODES)))
+    rng.shuffle(sig_rows)
+
+    from warpdemux_tpu.utils.synthetic import synth_trna_barcoded_read
+
+    fpts, labs = [], []
+    B = 128
+    for i in range(0, len(sig_rows), B):
+        chunk = sig_rows[i : i + B]
+        sigs = np.zeros((len(chunk), L), np.float32)
+        lens = np.zeros(len(chunk), np.int32)
+        for b, (pat, _lab) in enumerate(chunk):
+            sig, _ = synth_trna_barcoded_read(
+                rng,
+                pat,
+                adapter_mean=float(rng.normal(68, 2.5)),
+                adapter_sd=float(rng.uniform(6, 8.5)),
+                noise=float(rng.uniform(1.2, 2.2)),
+            )
+            n = min(L, sig.size)
+            sigs[b, :n] = sig[:n]
+            lens[b] = n
+        out = jax.device_get(step(sigs, lens)).unpack()
+        ok = out.success
+        fpts.append(out.fpt.fpt[ok].astype(np.float64))
+        labs.extend(lab for (_p, lab), o in zip(chunk, ok) if o)
+    return np.concatenate(fpts), np.asarray(labs, np.int64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-bc", type=int, default=150)
+    ap.add_argument("--noise-n", type=int, default=120)
+    ap.add_argument("--holdout-per-bc", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--out", default="WDX4_tRNA_rna004_v1_0")
+    args = ap.parse_args()
+
+    from sklearn.svm import SVC
+
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.models.importer import arrays_from_svc
+    from warpdemux_tpu.models.registry import MODEL_DIR
+    from warpdemux_tpu.ops.dtw import dtw_distance_matrix
+    from warpdemux_tpu.pipeline.step import make_demux_step
+    from warpdemux_tpu.utils.synthetic import trna_barcode_patterns
+
+    rng = np.random.default_rng(args.seed)
+    pats = trna_barcode_patterns(n_barcodes=len(BARCODES), n_events=25)
+    spc = get_model_spc_config(args.out)
+    step = make_demux_step(None, spc, with_predict=False)
+
+    X, y = make_fingerprints(rng, args.per_bc, args.noise_n, step, pats)
+    print(f"training fingerprints: {X.shape}, labels {np.bincount(y)}")
+
+    Xf = jnp.asarray(X.astype(np.float32))
+    D = np.asarray(
+        dtw_distance_matrix(Xf, Xf, 15, 0.1), np.float64
+    )
+    K = np.exp(-D)
+    svc = SVC(
+        kernel="precomputed",
+        C=1.0,
+        probability=True,
+        class_weight="balanced",
+        random_state=9,
+    )
+    svc.fit(K, y)
+
+    label_mapper = {i: bc for i, bc in enumerate(BARCODES)}
+    label_mapper[len(BARCODES)] = -1  # trained noise class
+    arrays = arrays_from_svc(
+        svc,
+        X,
+        label_mapper,
+        thresholds=np.zeros(len(BARCODES) + 1),
+    )
+    arrays["model_type"] = np.str_("dtw_svm")
+    out_path = MODEL_DIR / f"{args.out}.npz"
+    np.savez_compressed(out_path, **arrays)
+    print(f"saved {out_path} (X_sv {arrays['X_sv'].shape})")
+
+    # holdout evaluation through the full predict path
+    from warpdemux_tpu.models.registry import load_model
+
+    model = load_model(args.out)
+    Xh, yh = make_fingerprints(
+        np.random.default_rng(args.seed + 1),
+        args.holdout_per_bc,
+        args.holdout_per_bc,
+        step,
+        pats,
+    )
+    pred, conf, probs = model.predict(Xh.astype(np.float32))
+    want = np.array([label_mapper[int(c)] for c in yh])
+    acc = (pred == want).mean()
+    bc_mask = yh < len(BARCODES)
+    print(
+        f"holdout: overall acc {acc:.3f}; barcode reads "
+        f"{(pred[bc_mask] == want[bc_mask]).mean():.3f}; noise recall "
+        f"{(pred[~bc_mask] == -1).mean():.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

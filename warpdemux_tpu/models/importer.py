@@ -53,6 +53,49 @@ def _install_unpickle_stubs() -> None:
                 setattr(m, c, type(c, (), {}))
 
 
+def arrays_from_svc(
+    svc,
+    X: np.ndarray,
+    label_mapper: dict,
+    thresholds,
+    window: int = 15,
+    penalty: float = 0.1,
+    gamma: float = 1.0,
+    pwr_dist: int = 1,
+    block_size: int = 500,
+    noise_class: bool = True,
+) -> dict[str, np.ndarray]:
+    """Arrays bundle from a fitted sklearn SVC(kernel='precomputed') +
+    reference fingerprint set — shared by the joblib importer and the
+    in-repo trainers (tools/train_trna_model.py)."""
+    X = np.asarray(X, np.float64)
+    support = np.asarray(svc.support_, np.int64)
+    k = len(svc.classes_)
+    label_map = np.array([label_mapper[i] for i in range(k)], np.int32)
+    thresholds = np.asarray(thresholds, np.float64)
+    if thresholds.shape == ():
+        thresholds = np.full(k, float(thresholds))
+    return dict(
+        X_sv=X[support].astype(np.float32),
+        X_sv_f64=X[support],
+        dual_coef=np.asarray(svc.dual_coef_, np.float64),
+        n_support=np.asarray(svc.n_support_, np.int64),
+        intercept=np.asarray(svc.intercept_, np.float64),
+        probA=np.asarray(svc.probA_, np.float64),
+        probB=np.asarray(svc.probB_, np.float64),
+        classes=np.asarray(svc.classes_, np.int64),
+        label_map=label_map,
+        thresholds=thresholds,
+        window=np.int64(window),
+        penalty=np.float64(penalty),
+        gamma=np.float64(gamma),
+        pwr_dist=np.int64(pwr_dist),
+        block_size=np.int64(block_size),
+        noise_class=np.bool_(noise_class),
+        n_classes=np.int64(k),
+    )
+
+
 def convert_joblib(joblib_path: str | Path) -> dict[str, np.ndarray]:
     """Extract all arrays needed for inference from a reference joblib."""
     import joblib

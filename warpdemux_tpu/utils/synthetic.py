@@ -97,3 +97,74 @@ def synth_batch(rng, B, L=10000, **kw):
         lens[b] = n
         truths.append(truth)
     return sigs, lens, truths
+
+def trna_barcode_patterns(n_barcodes=4, n_events=30, seed=77):
+    """Fixed per-barcode z-score event patterns for synthetic tRNA reads.
+
+    Stand-in barcode signatures (the real WDX tRNA barcode squiggles live
+    in the upstream joblibs that are missing blobs in the reference
+    checkout, /root/reference/.MISSING_LARGE_BLOBS:4-5)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, 1.0, size=(n_barcodes, n_events)).astype(
+        np.float32
+    )
+
+
+def synth_trna_barcoded_read(
+    rng,
+    barcode_z,
+    spike_idx=300,
+    spike_height=110.0,
+    adapter_mean=68.0,
+    adapter_sd=7.0,
+    dwell=(18, 32),
+    polya_len=600,
+    trna_len=2500,
+    noise=1.6,
+):
+    """tRNA read whose adapter = capture spike -> consensus-shaped event
+    sequence -> barcode event sequence -> short polyA -> tRNA body.
+
+    The consensus section realizes the 82-event RNA004 consensus query
+    (models/consensus_data.py) scaled into pA so the subsequence-DTW
+    refinement (ops/fingerprint.fingerprints_consensus_refined, reference
+    sig_proc.py:255-378) locates the barcode start; `barcode_z` is the
+    per-barcode z-score event pattern realized after it.
+    """
+    from warpdemux_tpu.models.consensus_data import CONSENSUS
+
+    cons = np.asarray(CONSENSUS["rna004_130bps_v1_0"], np.float64)
+
+    def render(z_events):
+        segs = [
+            np.full(rng.integers(*dwell), adapter_mean + adapter_sd * z)
+            for z in z_events
+        ]
+        return np.concatenate(segs)
+
+    head = np.full(spike_idx - 20, adapter_mean) + rng.normal(
+        0, 2, spike_idx - 20
+    )
+    spike = spike_height + rng.normal(0, 2, 40)
+    lead_in = np.full(80, adapter_mean) + rng.normal(0, 2, 80)
+    adapter = np.concatenate(
+        [render(cons), render(np.asarray(barcode_z, np.float64))]
+    )
+    polya = np.full(polya_len, adapter_mean * 1.45) + rng.normal(
+        0, 1.0, polya_len
+    )
+    body_ev = []
+    while sum(map(len, body_ev)) < trna_len:
+        body_ev.append(
+            np.full(rng.integers(15, 60), 92.0 + rng.normal(0, 10))
+        )
+    body = np.concatenate(body_ev)[:trna_len]
+    sig = np.concatenate([head, spike, lead_in, adapter, polya, body])
+    sig = (sig + rng.normal(0, noise, sig.size)).astype(np.float32)
+    truth = dict(
+        spike_idx=spike_idx,
+        adapter_start=spike_idx + 100,
+        adapter_end=spike_idx + 100 + adapter.size,
+        polya_len=polya_len,
+    )
+    return sig, truth
