@@ -143,35 +143,44 @@ def main():
     # linked host (PCIe pod5 feed) would sustain. The VBZ wire variant
     # exists purely to shrink this environment's tunneled host->device
     # link; its on-device decode is not part of the deployment compute.
-    step_adc = make_demux_step(model, spc, input_format="adc")
     resident = [
         tuple(jax.device_put(a) for a in synth_minibatch(rng, B, L))
         for _ in range(16)
     ]
-    res = step_adc(*resident[0])
-    jax.device_get((res.pred, res.conf, res.success))  # warm/compile
-    # two fetcher threads: a single device_get stream serializes one
-    # ~25 ms tunnel round trip per minibatch; two in flight hide it
-    fetchq: queue.Queue = queue.Queue()
 
-    def fetcher():
-        while True:
-            r = fetchq.get()
-            if r is None:
-                return
-            jax.device_get((r.pred, r.conf, r.success))
+    def measure(step_fn):
+        # two fetcher threads: a single device_get stream serializes one
+        # ~25 ms tunnel round trip per minibatch; two in flight hide it
+        res = step_fn(*resident[0])
+        jax.device_get((res.pred, res.conf, res.success))  # warm/compile
+        fetchq: queue.Queue = queue.Queue()
 
-    fetchers = [threading.Thread(target=fetcher) for _ in range(2)]
-    t0 = time.time()
-    for th in fetchers:
-        th.start()
-    for b in resident:
-        fetchq.put(step_adc(*b))
-    for _ in fetchers:
-        fetchq.put(None)
-    for th in fetchers:
-        th.join()
-    compute_rps = len(resident) * B / (time.time() - t0)
+        def fetcher():
+            while True:
+                r = fetchq.get()
+                if r is None:
+                    return
+                jax.device_get((r.pred, r.conf, r.success))
+
+        fetchers = [threading.Thread(target=fetcher) for _ in range(2)]
+        t0 = time.time()
+        for th in fetchers:
+            th.start()
+        for b in resident:
+            fetchq.put(step_fn(*b))
+        for _ in fetchers:
+            fetchq.put(None)
+        for th in fetchers:
+            th.join()
+        return len(resident) * B / (time.time() - t0)
+
+    # full step (every boundary/fingerprint column produced AND returned:
+    # ~370 B/read of outputs also cross the tunnel on this environment)
+    compute_rps = measure(make_demux_step(model, spc, input_format="adc"))
+    # decision lane (predictions-only runs: pred/conf/fail back, ~13 B/read)
+    decision_rps = measure(
+        make_demux_step(model, spc, input_format="adc", outputs="decision")
+    )
 
     # host->device link bandwidth (the end-to-end wall on this tunnel)
     blob = np.random.default_rng(1).integers(
@@ -201,6 +210,8 @@ def main():
         f"pass={n_pass}/{total} elapsed={dt:.2f}s "
         f"compute_only={compute_rps:.0f} reads/s "
         f"(= {compute_rps / BASELINE_READS_PER_S:.1f}x baseline) "
+        f"decision_lane={decision_rps:.0f} reads/s "
+        f"(= {decision_rps / BASELINE_READS_PER_S:.1f}x) "
         f"link={link_mbps:.0f} MB/s wire={wire_per_read:.0f} B/read "
         f"(link-capped e2e ceiling ~"
         f"{link_mbps * 1e6 / wire_per_read:.0f} reads/s)",

@@ -159,3 +159,56 @@ save_path = "%s"
     assert n_channels == 126
     assert bcfgs[0].balance_type == "adapter_count"
     assert fracs == [1.0]
+
+
+def test_missed_start_gate_uses_start_sample():
+    """Reference semantics (session.py:287-312): the gate fires on
+    chunk_start_sample - read start_sample (samples missed before the first
+    captured chunk), NOT on the absolute chunk_start."""
+    from warpdemux_tpu.live.caches import LiveRead
+    from warpdemux_tpu.models.registry import load_model
+
+    model = load_model("WDX4_rna004_v1_0")
+
+    class _Client:
+        is_running = False
+
+        def __init__(self):
+            self.stopped = []
+
+        def stop_receiving_read(self, channel, read_number):
+            self.stopped.append((channel, read_number))
+
+    cfg = SessionConfig(
+        model_name="WDX4_rna004_v1_0",
+        save_path="/tmp",
+        run_id="gate",
+        max_missed_start_offset=400,
+    )
+    client = _Client()
+    balancers = BarcodeBalancers.from_configs(
+        4, [BalancerConfig(balance_type="none")], [1.0], n_channels=4
+    )
+    session = Session(client, cfg, balancers, model=model)
+
+    sig = np.zeros(1200, np.float32)
+    # read started long before the first captured chunk -> gate fires
+    late = LiveRead(
+        channel=1, read_id="late", read_number=1, signal=sig,
+        chunk_start=5000, start_sample=1000,
+    )
+    session._handle_chunk(1, late)
+    assert session.skip_stats["missed_reads"] == 1
+    assert session.skip_stats["missed_obs"][-1] == 4000
+    assert client.stopped == [(1, 1)]
+
+    # large absolute chunk_start but the read started inside the chunk
+    # window -> NOT missed (the old chunk_start-only gate would fire)
+    ok = LiveRead(
+        channel=2, read_id="ok", read_number=2, signal=sig,
+        chunk_start=5000, start_sample=4900,
+    )
+    session._handle_chunk(2, ok)
+    assert session.skip_stats["missed_reads"] == 1
+    assert session.skip_stats["missed_obs"][-1] == 100
+    assert client.stopped == [(1, 1)]

@@ -18,7 +18,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-# Integer fail codes (0 = success).
+# Integer fail codes (0 = success). Codes 10-13 reproduce the reference's
+# own strings verbatim (warpdemux/sig_proc.py:476,508,540,556 — "event
+# segmentation failed", "consensus query outlier", "signal/segment
+# normalization failed"). Codes 1-9 belong to the detect stage, whose
+# reference implementation (the ADAPTed submodule) is not present in the
+# reference checkout — these strings are this framework's stable taxonomy
+# for the same gates (README.md:425-457 documents only the column, not the
+# vocabulary).
 FAIL_REASONS = [
     "",  # 0: success
     "signal too short",  # 1

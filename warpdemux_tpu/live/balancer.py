@@ -62,8 +62,9 @@ class BarcodeBalancer:
         self._watched_files: set[str] = set()
         self._watcher: threading.Thread | None = None
         self._stop = threading.Event()
-        for bc in config.barcodes_blacklist:
-            self.valid[bc] = self.valid[bc]  # blacklisted still valid for mean
+        # NOTE: blacklisted barcodes stay in `valid` — they count toward the
+        # balance mean like the reference's (their reads are rejected in
+        # decide(), but their statistics still shape the target mean)
         if config.balance_type in WATCHER_STRATEGIES and config.pod5_watch_dir:
             self._watcher = threading.Thread(
                 target=self._pod5_watch_loop, daemon=True

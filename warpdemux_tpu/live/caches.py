@@ -25,6 +25,7 @@ class LiveRead:
     read_number: int
     signal: np.ndarray  # calibrated pA, float32
     chunk_start: int = 0
+    start_sample: int = 0  # where the read began (missed-start gate input)
     chunk_classifications: tuple = ()
 
 
@@ -85,6 +86,7 @@ class AccumulatingCache(ReadCache):
                     read_number=read.read_number,
                     signal=joined,
                     chunk_start=prev.chunk_start,
+                    start_sample=read.start_sample,
                     chunk_classifications=prev.chunk_classifications
                     + read.chunk_classifications,
                 )
@@ -102,18 +104,20 @@ class _ChannelBuffer:
 
     __slots__ = (
         "buf", "filled", "read_id", "read_number", "chunk_start",
-        "chunk_classifications", "fresh",
+        "start_sample", "chunk_classifications", "fresh",
     )
 
     def __init__(self, max_raw_signal: int):
         self.buf = np.zeros(max_raw_signal, np.float32)
         self.reset("", -1)
 
-    def reset(self, read_id: str, read_number: int, chunk_start: int = 0):
+    def reset(self, read_id: str, read_number: int, chunk_start: int = 0,
+              start_sample: int = 0):
         self.filled = 0
         self.read_id = read_id
         self.read_number = read_number
         self.chunk_start = chunk_start
+        self.start_sample = start_sample
         self.chunk_classifications: tuple = ()
         self.fresh = False
 
@@ -158,11 +162,13 @@ class PreallocAccumulatingCache:
                     return
                 cb = _ChannelBuffer(self.max_raw_signal)
                 self._chan[channel] = cb
-                cb.reset(read.read_id, read.read_number, read.chunk_start)
+                cb.reset(read.read_id, read.read_number, read.chunk_start,
+                         read.start_sample)
             elif cb.read_number != read.read_number:
                 if cb.fresh:
                     self.missed += 1
-                cb.reset(read.read_id, read.read_number, read.chunk_start)
+                cb.reset(read.read_id, read.read_number, read.chunk_start,
+                         read.start_sample)
             else:
                 self.replaced += 1
             cb.append(read.signal, tuple(read.chunk_classifications))
@@ -182,6 +188,7 @@ class PreallocAccumulatingCache:
                             read_number=cb.read_number,
                             signal=cb.buf[: cb.filled].copy(),
                             chunk_start=cb.chunk_start,
+                            start_sample=cb.start_sample,
                             chunk_classifications=cb.chunk_classifications,
                         ),
                     )

@@ -91,6 +91,9 @@ class MinknowTransport:
                         read_number=read.number,
                         signal=sig,
                         chunk_start=int(read.chunk_start_sample),
+                        start_sample=int(
+                            getattr(read, "start_sample", 0)
+                        ),
                         chunk_classifications=tuple(
                             str(c) for c in read.chunk_classifications
                         ),

@@ -46,7 +46,10 @@ class ReadChunk:
     read_id: str
     read_number: int
     signal: np.ndarray  # calibrated pA f32 (or ADC if calibration off)
-    chunk_start: int = 0
+    chunk_start: int = 0  # sample index where this chunk's data begins
+    start_sample: int = 0  # sample index where the READ began (MinKNOW
+    # read.start_sample; chunk_start - start_sample = observations missed
+    # before the first captured chunk)
     chunk_classifications: tuple = ()
 
 
@@ -152,6 +155,7 @@ class ReadUntilClient:
                     read_number=chunk.read_number,
                     signal=np.asarray(chunk.signal, np.float32),
                     chunk_start=chunk.chunk_start,
+                    start_sample=chunk.start_sample,
                     chunk_classifications=tuple(chunk.chunk_classifications),
                 ),
             )

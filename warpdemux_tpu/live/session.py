@@ -113,7 +113,12 @@ class Session:
         self.crud = ChannelRepeatedUnblockDuration()
         self.fpt_queue: queue.Queue = queue.Queue()
         self.skip_stats = dict(
-            missed_obs=0, too_long_reads=0, not_real_read=0, no_polya_yet=0
+            missed_obs=[],  # per-chunk missed-sample counts (reference
+            # session.py:287-291 appends the value; missed_reads counts)
+            missed_reads=0,
+            too_long_reads=0,
+            not_real_read=0,
+            no_polya_yet=0,
         )
         self._stop = threading.Event()
         self._idle = threading.Event()
@@ -308,10 +313,21 @@ class Session:
     def _handle_chunk(self, channel, read):
         cfg = self.config
         sig = read.signal
-        # missed-start gate: chunk began too far into the read
-        if read.chunk_start > cfg.max_missed_start_offset:
-            self.skip_stats["missed_obs"] += 1
+        # missed-start gate (reference session.py:287-312): observations
+        # missed before the first captured chunk = chunk_start_sample -
+        # read start_sample (negative means the read started inside this
+        # chunk); too many missed samples means the adapter is gone
+        missed_obs = read.chunk_start - read.start_sample
+        self.skip_stats["missed_obs"].append(missed_obs)
+        if missed_obs > cfg.max_missed_start_offset:
+            self.skip_stats["missed_reads"] += 1
             self.client.stop_receiving_read(channel, read.read_number)
+            # reference emits a FailedRead(reason="missed_obs",
+            # decision="retain") result row (session.py:295-311)
+            self.reporter.report_read(
+                channel, read.read_id, "failed", -1, 0.0,
+                accepted=True, balancer=-1, chunk_len=sig.size,
+            )
             return
         if sig.size > cfg.max_chunk_size:
             self.skip_stats["too_long_reads"] += 1

@@ -53,36 +53,47 @@ class DemuxStepOutput(NamedTuple):
 
 
 class PackedStepOutput(NamedTuple):
-    """Device outputs of one demux step, packed into few buffers.
+    """Device outputs of one demux step, packed into five buffers.
 
-    Every per-read scalar column is stacked into a handful of (B, C)
-    arrays: remote-attached devices pay a per-buffer round-trip cost on
-    every dispatch/fetch (measured ~6 ms per minibatch for the ~40 unpacked
-    columns on this tunnel), and fewer/larger D2H transfers are cheaper on
-    any transport. `unpack()` restores the full DemuxStepOutput view on the
-    host after device_get.
+    Every per-read scalar column is stacked into two (B, C) arrays (one
+    int32, one float32): remote-attached devices pay a per-buffer
+    round-trip cost on every dispatch/fetch (measured ~0.9 ms per buffer
+    per minibatch on this tunnel, ~40 columns unpacked), and fewer/larger
+    D2H transfers are cheaper on any transport. pred/conf/success stay
+    separate so the hot decision fetch is tiny. `unpack()` restores the
+    full DemuxStepOutput view on the host after device_get.
+
+    Layouts (k = barcode_num_events, kc = n_classes):
+      big_i (B, 11+k) i32: a_start, a_end, p_start, p_end, p_cands,
+        rna_start, rna_len, det_fail | used_llr_fallback, fpt_ok,
+        merged_fail | dwell(k)
+      big_f (B, 18+k+kc) f32: adapter/polya/rna mean/std/med/mad (12) |
+        fpt(k) | dt_med, dt_mad, ev mean/std/med/mad (6) | probs(kc)
     """
 
-    det_i: jnp.ndarray  # (B, 8) i32: a_start, a_end, p_start, p_end,
-    #                     p_cands, rna_start, rna_len, det_fail
-    det_f: jnp.ndarray  # (B, 12) f32: adapter/polya/rna x mean/std/med/mad
-    flags: jnp.ndarray  # (B, 3) i32: used_llr_fallback, fpt_ok, merged_fail
-    fpt_f: jnp.ndarray  # (B, k+6) f32: fpt | dt_med, dt_mad, ev mean/std/med/mad
-    dwell: jnp.ndarray  # (B, k) i32
+    big_i: jnp.ndarray
+    big_f: jnp.ndarray
     cons_i: jnp.ndarray | None  # (B, 3) i32 (tRNA consensus path only)
     success: jnp.ndarray  # (B,) bool
     pred: jnp.ndarray  # (B,) i32
     conf: jnp.ndarray  # (B,) f32
-    probs: jnp.ndarray  # (B, n_classes) f32
+
+    @property
+    def probs(self):
+        k = self.big_i.shape[1] - 11
+        return self.big_f[:, 18 + k :]
 
     def unpack(self) -> DemuxStepOutput:
         """Host-side view reconstruction (call after device_get)."""
-        det_i = np.asarray(self.det_i)
-        det_f = np.asarray(self.det_f)
-        flags = np.asarray(self.flags)
-        fpt_f = np.asarray(self.fpt_f)
-        dwell = np.asarray(self.dwell)
-        k = dwell.shape[1]
+        big_i = np.asarray(self.big_i)
+        big_f = np.asarray(self.big_f)
+        k = big_i.shape[1] - 11
+        det_i = big_i[:, :8]
+        flags = big_i[:, 8:11]
+        dwell = big_i[:, 11:]
+        det_f = big_f[:, :12]
+        fpt_f = big_f[:, 12 : 18 + k]
+        probs = big_f[:, 18 + k :]
         det = DetectArrays(
             success=det_i[:, 7] == 0,
             fail_code=det_i[:, 7],
@@ -129,9 +140,23 @@ class PackedStepOutput(NamedTuple):
             success=np.asarray(self.success),
             pred=np.asarray(self.pred),
             conf=np.asarray(self.conf),
-            probs=np.asarray(self.probs),
+            probs=probs,
             consensus=cons,
         )
+
+
+class DecisionStepOutput(NamedTuple):
+    """Decision-lane outputs: barcode call + confidence + fail taxonomy.
+
+    The predictions-only demux path (no --save_boundaries/--save_fpts)
+    and the live-balancing lane only need these ~13 bytes/read back from
+    the device; the full boundary/fingerprint columns (~370 bytes/read)
+    stay on device."""
+
+    pred: jnp.ndarray  # (B,) int32
+    conf: jnp.ndarray  # (B,) f32
+    fail_code: jnp.ndarray  # (B,) int32 merged taxonomy
+    success: jnp.ndarray  # (B,) bool
 
 
 def make_demux_step(
@@ -140,8 +165,13 @@ def make_demux_step(
     with_predict: bool = True,
     input_format: str = "pa",
     mesh=None,
+    outputs: str = "full",
 ):
     """Build the demux step function.
+
+    outputs: "full" -> PackedStepOutput (all boundary/fingerprint columns);
+    "decision" -> DecisionStepOutput (pred/conf/fail/success only — the
+    minimal device->host return for predictions-only runs).
 
     input_format:
       "pa":  step(signals (B, L) f32 picoamps, in_lens (B,))
@@ -308,6 +338,11 @@ def make_demux_step(
     def _pack(det, fpt, cons, fail, success, pred, conf, probs):
         i32 = lambda a: a.astype(jnp.int32)
         f32 = lambda a: a.astype(jnp.float32)
+        if outputs == "decision":
+            return DecisionStepOutput(
+                pred=i32(pred), conf=f32(conf), fail_code=i32(fail),
+                success=success,
+            )
         det_i = jnp.stack(
             [
                 i32(det.adapter_start),
@@ -365,16 +400,12 @@ def make_demux_step(
             else None
         )
         return PackedStepOutput(
-            det_i=det_i,
-            det_f=det_f,
-            flags=flags,
-            fpt_f=fpt_f,
-            dwell=i32(fpt.dwell),
+            big_i=jnp.concatenate([det_i, flags, i32(fpt.dwell)], axis=1),
+            big_f=jnp.concatenate([det_f, fpt_f, f32(probs)], axis=1),
             cons_i=cons_i,
             success=success,
             pred=i32(pred),
             conf=f32(conf),
-            probs=f32(probs),
         )
 
     def _tail(signals, in_lens, det):
