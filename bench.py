@@ -193,6 +193,75 @@ def main():
     link_mbps = 4 * blob.nbytes / (time.time() - t0) / 1e6
     wire_per_read = (batches[-1][0].nbytes + batches[-1][1].nbytes) / B
 
+    # real-pod5 end-to-end: the same loop fed by the actual pod5 reader
+    # (zstd decode + VBZ inner-layout repack on the host, looped fixtures)
+    pod5_rps = None
+    fixtures = [
+        f"/root/reference/test_data/live_balancing/small_pod5_{i}.pod5"
+        for i in range(4)
+    ]
+    import os
+
+    if all(os.path.exists(f) for f in fixtures):
+        from warpdemux_tpu.io.pod5 import yield_vbz_batches
+
+        def pod5_pass():
+            feed: queue.Queue = queue.Queue(maxsize=4)
+
+            def producer():
+                for batch in yield_vbz_batches(
+                    fixtures * 4, None, None, batch_size=B, preload_size=L
+                ):
+                    keys, data, offset, scale, in_lens = batch[:5]
+                    n = keys.shape[0]
+                    if n < B:
+                        pad = B - n
+                        keys = np.concatenate(
+                            [keys, np.zeros((pad, keys.shape[1]), np.uint8)]
+                        )
+                        data = np.concatenate(
+                            [data, np.zeros((pad, data.shape[1]), np.uint8)]
+                        )
+                        offset = np.concatenate(
+                            [offset, np.zeros(pad, np.float32)]
+                        )
+                        scale = np.concatenate(
+                            [scale, np.zeros(pad, np.float32)]
+                        )
+                        in_lens = np.concatenate(
+                            [in_lens, np.zeros(pad, np.int32)]
+                        )
+                    feed.put(
+                        (
+                            tuple(
+                                jax.device_put(a)
+                                for a in (keys, data, offset, scale, in_lens)
+                            ),
+                            n,
+                        )
+                    )
+                feed.put(None)
+
+            t0 = time.time()
+            threading.Thread(target=producer, daemon=True).start()
+            inflight, total = [], 0
+            while True:
+                item = feed.get()
+                if item is None:
+                    break
+                dev, n = item
+                total += n
+                inflight.append(step(*dev))
+                if len(inflight) >= 3:
+                    r = inflight.pop(0)
+                    jax.device_get((r.pred, r.conf, r.success))
+            for r in inflight:
+                jax.device_get((r.pred, r.conf, r.success))
+            return total / (time.time() - t0)
+
+        pod5_pass()  # warm any new decode-width variants
+        pod5_rps = pod5_pass()
+
     total = TIMED_BATCHES * B
     reads_per_s = total / dt
     print(
@@ -212,7 +281,8 @@ def main():
         f"(= {compute_rps / BASELINE_READS_PER_S:.1f}x baseline) "
         f"decision_lane={decision_rps:.0f} reads/s "
         f"(= {decision_rps / BASELINE_READS_PER_S:.1f}x) "
-        f"link={link_mbps:.0f} MB/s wire={wire_per_read:.0f} B/read "
+        + (f"pod5_e2e={pod5_rps:.0f} reads/s " if pod5_rps else "")
+        + f"link={link_mbps:.0f} MB/s wire={wire_per_read:.0f} B/read "
         f"(link-capped e2e ceiling ~"
         f"{link_mbps * 1e6 / wire_per_read:.0f} reads/s)",
         file=sys.stderr,

@@ -88,3 +88,65 @@ def test_distance_matrix_to_api():
     assert isinstance(D, np.ndarray) and D.shape == (6, 9)
     D_self = distance_matrix_to(X, X)
     np.testing.assert_allclose(np.diag(D_self), 0.0, atol=1e-6)
+
+
+def _brute_force_dtw(q, r, window, penalty):
+    """Definition-level golden: enumerate EVERY monotone warping path.
+
+    Semantics being pinned (dtaidistance 2.3.13's banded DTW as used by the
+    reference, parallel_distances.py:34-43): local cost = squared
+    difference, steps = (i+1,j+1) free / (i+1,j) / (i,j+1) with penalty^2
+    added on the two non-diagonal steps, Sakoe-Chiba band |i-j| <= window-1,
+    path from (0,0) to (n-1,m-1), final distance = sqrt(total). Exponential
+    enumeration — only for tiny series — but shares NO code or recurrence
+    with the production implementations, so a misread of the recurrence in
+    one cannot hide in the other.
+    """
+    n, m = len(q), len(r)
+    p2 = penalty * penalty
+    best = [np.inf]
+
+    def in_band(i, j):
+        # dtaidistance widens the Sakoe-Chiba band by the length difference:
+        # j in [i - max(0, n-m) - w + 1, i + max(0, m-n) + w) — for equal
+        # lengths this is |i-j| <= w-1
+        return (
+            j >= i - max(0, n - m) - window + 1
+            and j < i + max(0, m - n) + window
+        )
+
+    def walk(i, j, acc):
+        if not in_band(i, j):
+            return
+        acc += (q[i] - r[j]) ** 2
+        if acc >= best[0]:
+            return
+        if i == n - 1 and j == m - 1:
+            best[0] = acc
+            return
+        if i + 1 < n and j + 1 < m:
+            walk(i + 1, j + 1, acc)
+        if i + 1 < n:
+            walk(i + 1, j, acc + p2)
+        if j + 1 < m:
+            walk(i, j + 1, acc + p2)
+
+    walk(0, 0, 0.0)
+    return np.sqrt(best[0])
+
+
+def test_all_paths_brute_force_parity():
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(3, 7))
+        m = int(rng.integers(3, 7))
+        window = int(rng.integers(1, 7))
+        penalty = float(rng.choice([0.0, 0.1, 1.5]))
+        q = rng.normal(0, 1, n)
+        r = rng.normal(0, 1, m)
+        want = _brute_force_dtw(q, r, window, penalty)
+        got = dtw_distance_ref(q, r, window, penalty)
+        if np.isinf(want):
+            assert np.isinf(got) or got > 1e17, (trial, got)
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=str(trial))

@@ -12,6 +12,7 @@ for assertions.
 from __future__ import annotations
 
 import threading
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -81,6 +82,7 @@ class _ActiveRead:
     signal: np.ndarray
     delivered: int = 0
     done: bool = False
+    last_delivery: float = 0.0
 
 
 class DummyClient:
@@ -93,7 +95,16 @@ class DummyClient:
         n_channels: int = 126,
         seed: int = 0,
         signals: list[np.ndarray] | None = None,
+        chunk_period_s: float = 0.0,
+        stagger_s: float = 0.0,
     ):
+        # chunk_period_s > 0 paces delivery like a real sequencer (MinKNOW
+        # emits one chunk per break_reads_after_seconds, 100 ms with the
+        # shipped protocol fragment) so measured latencies reflect lane
+        # latency rather than replay backlog; 0 = as-fast-as-polled.
+        # stagger_s spreads read starts uniformly over that window, like
+        # molecules entering pores at random times (without it every
+        # channel hits the polyA decision point in the same chunk tick).
         rng = np.random.default_rng(seed)
         self._reads: list[_ActiveRead] = []
         for i in range(n_reads):
@@ -108,9 +119,14 @@ class DummyClient:
                     read_number=i,
                     channel=int(rng.integers(1, n_channels + 1)),
                     signal=np.asarray(sig, np.float32),
+                    last_delivery=float(rng.uniform(0, stagger_s))
+                    if stagger_s
+                    else 0.0,
                 )
             )
         self.chunk_size = chunk_size
+        self.chunk_period_s = chunk_period_s
+        self._t0 = None  # set on the first poll (after session warm-up)
         self._lock = threading.Lock()
         self.stopped: dict[str, int] = {}
         self.unblocked: dict[str, float] = {}
@@ -123,9 +139,23 @@ class DummyClient:
 
     def get_read_chunks(self, batch_size=64, min_chunk_length=0):
         out = []
+        now = time.time()
         with self._lock:
+            if self._t0 is None:
+                self._t0 = now
             active = [r for r in self._reads if not r.done]
             for r in active[:batch_size]:
+                if self.chunk_period_s and r.delivered == 0 and r.last_delivery:
+                    # staggered start: last_delivery holds the start offset
+                    if now < self._t0 + r.last_delivery:
+                        continue
+                if (
+                    self.chunk_period_s
+                    and r.delivered
+                    and now - r.last_delivery < self.chunk_period_s
+                ):
+                    continue
+                r.last_delivery = now
                 r.delivered = min(r.delivered + self.chunk_size, r.signal.size)
                 if r.delivered >= r.signal.size:
                     r.done = True  # read passed through the pore untouched

@@ -111,12 +111,33 @@ class LiveReporter:
                     self._lat[stage].append(dt)
 
     def latency_stats(self) -> dict:
+        """Per-stage (mean, std) seconds — the reference's end-of-run
+        latency report (live_balancing/reporting.py:505-535)."""
         with self._lock:
             return {
                 stage: (float(np.mean(v)), float(np.std(v)))
                 for stage, v in self._lat.items()
                 if v
             }
+
+    def latency_percentiles(self) -> dict:
+        """Per-stage {p50, p90, p99, max} seconds — the live lane's decision
+        budget is one MinKNOW chunk period (100 ms with the shipped
+        protocol fragment, minknow_config/...100ms.toml)."""
+        with self._lock:
+            out = {}
+            for stage, v in self._lat.items():
+                if not v:
+                    continue
+                a = np.asarray(v)
+                out[stage] = {
+                    "n": int(a.size),
+                    "p50": float(np.percentile(a, 50)),
+                    "p90": float(np.percentile(a, 90)),
+                    "p99": float(np.percentile(a, 99)),
+                    "max": float(a.max()),
+                }
+            return out
 
     # ---- per-balancer time series + console tables (reference
     # report_worker, live_balancing/reporting.py:112-575) ------------------
