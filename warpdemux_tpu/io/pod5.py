@@ -21,6 +21,7 @@ covering the requested preload window are decompressed.
 from __future__ import annotations
 
 import re
+import threading
 import uuid
 from dataclasses import dataclass
 from pathlib import Path
@@ -35,6 +36,16 @@ import zstandard
 from warpdemux_tpu.io import vbz
 
 _ZSTD_D = zstandard.ZstdDecompressor()
+# ZstdDecompressor objects are not safe for concurrent use (shared internal
+# DCtx); the threaded feed takes one per thread
+_ZSTD_TLS = threading.local()
+
+
+def _zstd_tls() -> "zstandard.ZstdDecompressor":
+    d = getattr(_ZSTD_TLS, "d", None)
+    if d is None:
+        d = _ZSTD_TLS.d = zstandard.ZstdDecompressor()
+    return d
 
 _POD5_SIGNATURE = b"\x8bPOD\r\n\x1a\n"
 _ARROW_MAGIC = b"ARROW1\x00\x00"
@@ -318,49 +329,53 @@ def yield_vbz_batches(
             read_ids[i] = rid
         return keys, data, offset, scale, in_lengths, full_lengths, read_ids
 
+    def make_row(args):
+        reader, rec = args
+        n = min(L, rec.num_samples)
+        srows = rec._signal_rows
+        if len(srows) and int(reader._sig_samples[srows[0]]) >= n:
+            raw = _zstd_tls().decompress(
+                reader._sig_payload[srows[0]],
+                max_output_size=4 * int(reader._sig_samples[srows[0]]) + 16,
+            )
+            row_n = int(reader._sig_samples[srows[0]])
+            row_klen = (row_n + 7) // 8
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8, count=row_klen),
+                bitorder="little",
+                count=n,
+            )
+            kb = np.packbits(bits, bitorder="little")
+            needed = n + int(bits.sum())
+            db = np.frombuffer(raw, np.uint8, offset=row_klen, count=needed)
+        else:  # multi-row head: decode + re-base
+            sig = rec.signal_adc(n)[:n]
+            body = inner_layout_from_adc(sig)
+            kb = np.frombuffer(body, np.uint8, count=(n + 7) // 8)
+            db = np.frombuffer(body, np.uint8, offset=(n + 7) // 8)
+        return (
+            kb,
+            db,
+            rec.calibration_offset,
+            rec.calibration_scale,
+            n,
+            rec.num_samples,
+            rec.read_id,
+        )
+
+    # NOTE: measured single-threaded at ~9k reads/s (0.11 ms/read; the
+    # numpy repack holds the GIL, so a thread pool LOWERS throughput to
+    # ~5k). Plenty above the current link-capped e2e (~4k reads/s); for a
+    # locally-attached-device deployment at the 35k reads/s device rate,
+    # shard input FILES across processes (parallel/multihost.shard_files)
+    # like the reference's process pool (file_proc.py:333-354).
     rows: list = []
     for filename in pod5_files:
         with Pod5Reader(filename) as reader:
             for rec in reader.reads(selection=selection, missing_ok=True):
                 if rec.read_id in read_ids_excl:
                     continue
-                n = min(L, rec.num_samples)
-                body = None
-                srows = rec._signal_rows
-                if len(srows) and int(reader._sig_samples[srows[0]]) >= n:
-                    raw = _ZSTD_D.decompress(
-                        reader._sig_payload[srows[0]],
-                        max_output_size=4 * int(reader._sig_samples[srows[0]])
-                        + 16,
-                    )
-                    row_n = int(reader._sig_samples[srows[0]])
-                    row_klen = (row_n + 7) // 8
-                    bits = np.unpackbits(
-                        np.frombuffer(raw, np.uint8, count=row_klen),
-                        bitorder="little",
-                        count=n,
-                    )
-                    kb = np.packbits(bits, bitorder="little")
-                    needed = n + int(bits.sum())
-                    db = np.frombuffer(
-                        raw, np.uint8, offset=row_klen, count=needed
-                    )
-                else:  # multi-row head: decode + re-base
-                    sig = rec.signal_adc(n)[:n]
-                    body = inner_layout_from_adc(sig)
-                    kb = np.frombuffer(body, np.uint8, count=(n + 7) // 8)
-                    db = np.frombuffer(body, np.uint8, offset=(n + 7) // 8)
-                rows.append(
-                    (
-                        kb,
-                        db,
-                        rec.calibration_offset,
-                        rec.calibration_scale,
-                        n,
-                        rec.num_samples,
-                        rec.read_id,
-                    )
-                )
+                rows.append(make_row((reader, rec)))
                 if len(rows) == N:
                     yield flush(rows)
                     rows = []
