@@ -28,7 +28,12 @@ import numpy as np
 import jax.numpy as jnp
 
 L = 10000
-BARCODES = [3, 4, 5, 7]  # registry which_barcodes for WDX4_tRNA
+# registry which_barcodes per model (models/model_files/config.toml)
+MODEL_BARCODES = {
+    "WDX4_tRNA_rna004_v1_0": [3, 4, 5, 7],
+    "WDX4b_tRNA_rna004_v1_0": [4, 5, 7, 11],
+}
+BARCODES = [3, 4, 5, 7]  # rebound per --out in main()
 
 
 def make_fingerprints(rng, per_bc, noise_n, step, pats):
@@ -85,8 +90,15 @@ def main():
     from warpdemux_tpu.pipeline.step import make_demux_step
     from warpdemux_tpu.utils.synthetic import trna_barcode_patterns
 
+    global BARCODES
+    BARCODES = MODEL_BARCODES[args.out]
     rng = np.random.default_rng(args.seed)
-    pats = trna_barcode_patterns(n_barcodes=len(BARCODES), n_events=25)
+    # distinct signature sets per model; WDX4 keeps the original seed 77
+    # (tests/test_trna_demux_e2e.py regenerates its reads from it)
+    pat_seed = 77 + list(MODEL_BARCODES).index(args.out)
+    pats = trna_barcode_patterns(
+        n_barcodes=len(BARCODES), n_events=25, seed=pat_seed
+    )
     spc = get_model_spc_config(args.out)
     step = make_demux_step(None, spc, with_predict=False)
 
