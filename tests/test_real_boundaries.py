@@ -131,3 +131,9 @@ def test_real_barcode_call_agreement(real_batch, detections):
     hard = ((pl != pp) & (pl >= 0) & (pp >= 0) & both).sum()
     assert hard == 0
     assert (pl[both] == pp[both]).mean() >= 0.93
+    # pinned real-fixture prediction distribution (llr path, fixture 0;
+    # measured 2026-08-19) — catches silent classifier drift, not just
+    # wiring breakage
+    dist = {int(k): int(v) for k, v in zip(*np.unique(pl[pl >= -1],
+                                                      return_counts=True))}
+    assert dist == {-1: 30, 3: 30, 4: 15, 5: 17, 7: 7}, dist
