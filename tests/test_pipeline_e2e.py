@@ -126,3 +126,18 @@ def test_continue_resumes_without_reprocessing(tmp_path):
     # all reads were already processed: no duplicates appear
     assert len(preds) == n_before
     assert preds["#read_id"].is_unique
+
+
+def test_adc_wire_matches_vbz_wire(tmp_path):
+    """--wire adc (raw int16 counts, zero device decode) must produce
+    byte-identical outputs to the default compressed VBZ wire."""
+    out_v = tmp_path / "vbz"
+    out_a = tmp_path / "adc"
+    _cli("demux", "-i", POD5, "-o", str(out_v), *COMMON)
+    _cli("demux", "-i", POD5, "-o", str(out_a), *COMMON, "--wire", "adc")
+    for sub in ("predictions", "failed_reads"):
+        a = _read_csvs(str(out_v / sub / "*.csv.gz"))
+        b = _read_csvs(str(out_a / sub / "*.csv.gz"))
+        a = a.sort_values(a.columns[0]).reset_index(drop=True)
+        b = b.sort_values(b.columns[0]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -48,6 +48,9 @@ def _add_common(p):
     p.add_argument("--save_fpts", action="store_true")
     p.add_argument("--create_subdir", action="store_true", default=True)
     p.add_argument("--no-create_subdir", dest="create_subdir", action="store_false")
+    p.add_argument("--wire", choices=("vbz", "adc"), default="vbz",
+                   help="host->device wire: compressed VBZ inner layout "
+                        "(thin links) or raw int16 ADC (local accelerators)")
     p.add_argument("-j", "--devices", type=int, default=1,
                    help="devices to shard each minibatch over "
                         "(0 = all local devices; the reference's -j "
@@ -171,6 +174,7 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
             bidx_fail=bidx[1],
             bidx_predict=bidx[2],
             devices=getattr(args, "devices", 1),
+            wire=getattr(args, "wire", "vbz"),
         ),
         task=TaskConfig(command=command, preprocess=True, predict=do_predict),
         classif=ClassifConfig(model_name=args.model_name),
@@ -268,6 +272,7 @@ def _cmd_continue(args):
         save_fpts=manifest["output"]["save_fpts"],
         create_subdir=False,
         devices=manifest["batch"].get("devices", 1),
+        wire=manifest["batch"].get("wire", "vbz"),
     )
     return _run_batch_command(
         ns,

@@ -63,6 +63,11 @@ class BatchConfig:
     # parallelism, file_proc.py:1197-1245, mapped onto a jax Mesh):
     # 1 = single device, 0 = all local devices, N = first N devices.
     devices: int = 1
+    # host->device wire format: "vbz" ships the compressed pod5 inner
+    # layout (~11.5 KB/read, decoded on device — wins on thin links);
+    # "adc" ships raw int16 counts (20 KB/read, zero device decode — wins
+    # on locally attached accelerators).
+    wire: str = "vbz"
 
 
 @dataclass
@@ -100,6 +105,7 @@ class Config:
                 "minibatch_size": self.batch.minibatch_size,
                 "batch_size_output": self.batch.batch_size_output,
                 "devices": self.batch.devices,
+                "wire": self.batch.wire,
             },
             "output": {
                 "save_fpts": self.output.save_fpts,

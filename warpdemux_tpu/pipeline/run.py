@@ -157,8 +157,9 @@ def run_demux(config: Config, model=None) -> RunStats:
             batch_sharding = NamedSharding(mesh, P("data"))
             logging.info("sharding minibatches over %d devices", n_dev)
 
+    wire = config.batch.wire
     step = make_demux_step(
-        model, spc, with_predict=do_predict, input_format="vbz", mesh=mesh
+        model, spc, with_predict=do_predict, input_format=wire, mesh=mesh
     )
 
     B = config.batch.minibatch_size
@@ -173,46 +174,49 @@ def run_demux(config: Config, model=None) -> RunStats:
     feed: queue.Queue = queue.Queue(maxsize=4)
 
     def producer():
-        """pod5 -> compressed-wire minibatches (VBZ inner layout, decoded on
-        device), padded to the compiled batch shape, with the host->device
-        transfer started here so it overlaps the main loop's compute (the
-        reference's preloader thread + bounded queue, file_proc.py:333-354,
-        with device_put as the 'preload')."""
+        """pod5 -> wire-format minibatches (VBZ inner layout decoded on
+        device, or raw int16 ADC), padded to the compiled batch shape, with
+        the host->device transfer started here so it overlaps the main
+        loop's compute (the reference's preloader thread + bounded queue,
+        file_proc.py:333-354, with device_put as the 'preload')."""
         import jax
 
+        put = (
+            (lambda a: jax.device_put(a, batch_sharding))
+            if batch_sharding is not None
+            else jax.device_put
+        )
+
+        def pad_rows(a, pad):
+            shape = (pad,) + a.shape[1:]
+            return np.concatenate([a, np.zeros(shape, a.dtype)])
+
         try:
-            for batch in yield_vbz_batches(
-                config.input.files,
-                config.input.read_ids_incl,
-                config.input.read_ids_excl,
-                batch_size=B,
-                preload_size=L,
-            ):
-                keys, data, offset, scale, in_lens, full_lens, read_ids = batch
-                n = keys.shape[0]
+            if wire == "adc":
+                from warpdemux_tpu.io.pod5 import yield_adc_batches
+
+                gen = yield_adc_batches(
+                    config.input.files,
+                    config.input.read_ids_incl,
+                    config.input.read_ids_excl,
+                    batch_size=B,
+                    preload_size=L,
+                )
+            else:
+                gen = yield_vbz_batches(
+                    config.input.files,
+                    config.input.read_ids_incl,
+                    config.input.read_ids_excl,
+                    batch_size=B,
+                    preload_size=L,
+                )
+            for batch in gen:
+                *arrays, full_lens, read_ids = batch
+                in_lens = arrays[-1]
+                n = arrays[0].shape[0]
                 if n < B:
-                    pad = B - n
-                    keys = np.concatenate(
-                        [keys, np.zeros((pad, keys.shape[1]), np.uint8)]
-                    )
-                    data = np.concatenate(
-                        [data, np.zeros((pad, data.shape[1]), np.uint8)]
-                    )
-                    offset = np.concatenate([offset, np.zeros(pad, np.float32)])
-                    scale = np.concatenate([scale, np.zeros(pad, np.float32)])
-                    in_lens = np.concatenate([in_lens, np.zeros(pad, np.int32)])
-                put = (
-                    (lambda a: jax.device_put(a, batch_sharding))
-                    if batch_sharding is not None
-                    else jax.device_put
-                )
-                dev = (
-                    put(keys),
-                    put(data),
-                    put(offset),
-                    put(scale),
-                    put(in_lens),
-                )
+                    arrays = [pad_rows(a, B - n) for a in arrays]
+                dev = tuple(put(a) for a in arrays)
                 feed.put((dev, n, full_lens, read_ids))
         except Exception:
             logging.exception("pod5 producer failed; stopping feed")
@@ -375,9 +379,10 @@ def run_demux(config: Config, model=None) -> RunStats:
         item = feed.get()
         if item is None:
             break
-        (keys, data, offset, scale, in_lens), n, full_lens, read_ids = item
+        dev, n, full_lens, read_ids = item
+        in_lens = dev[-1]
         try:
-            res = step(keys, data, offset, scale, in_lens)
+            res = step(*dev)
         except Exception:
             logging.exception(
                 "minibatch dispatch failed (%d reads dropped): %s...",
