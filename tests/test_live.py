@@ -199,7 +199,7 @@ def test_missed_start_gate_uses_start_sample():
     )
     session._handle_chunk(1, late)
     assert session.skip_stats["missed_reads"] == 1
-    assert session.skip_stats["missed_obs"][-1] == 4000
+    assert session.skip_stats["missed_obs_last"] == 4000
     assert client.stopped == [(1, 1)]
 
     # large absolute chunk_start but the read started inside the chunk
@@ -210,5 +210,53 @@ def test_missed_start_gate_uses_start_sample():
     )
     session._handle_chunk(2, ok)
     assert session.skip_stats["missed_reads"] == 1
-    assert session.skip_stats["missed_obs"][-1] == 100
+    assert session.skip_stats["missed_obs_last"] == 100
     assert client.stopped == [(1, 1)]
+
+
+def test_negative_missed_obs_trims_leading_samples():
+    """When the read starts INSIDE the first captured chunk (missed_obs < 0)
+    the leading samples belong to the previous read / open pore and are
+    trimmed before any processing (reference session.py:316-317,
+    calibrated_signal[-missed_obs:])."""
+    from warpdemux_tpu.live.caches import LiveRead
+    from warpdemux_tpu.models.registry import load_model
+
+    model = load_model("WDX4_rna004_v1_0")
+
+    class _Client:
+        is_running = False
+        stopped = []
+
+        def stop_receiving_read(self, channel, read_number):
+            self.stopped.append((channel, read_number))
+
+    cfg = SessionConfig(
+        model_name="WDX4_rna004_v1_0", save_path="/tmp", run_id="trim",
+        # gate configured so the (trimmed) chunk is too long -> deterministic
+        # path that exposes which signal length the session acted on
+        max_chunk_size=1000,
+    )
+    balancers = BarcodeBalancers.from_configs(
+        4, [BalancerConfig(balance_type="none")], [1.0], n_channels=4
+    )
+    session = Session(_Client(), cfg, balancers, model=model)
+
+    sig = np.zeros(1500, np.float32)
+    # read started 600 samples into the chunk -> missed_obs = -600 and the
+    # trimmed signal is 900 samples: NOT over max_chunk_size
+    inside = LiveRead(
+        channel=1, read_id="in", read_number=1, signal=sig,
+        chunk_start=1000, start_sample=1600,
+    )
+    session._handle_chunk(1, inside)
+    assert session.skip_stats["missed_obs_last"] == -600
+    assert session.skip_stats["too_long_reads"] == 0
+
+    # untrimmed read of the same physical size IS over max_chunk_size
+    flush = LiveRead(
+        channel=2, read_id="full", read_number=2, signal=sig,
+        chunk_start=1000, start_sample=1000,
+    )
+    session._handle_chunk(2, flush)
+    assert session.skip_stats["too_long_reads"] == 1

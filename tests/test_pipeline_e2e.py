@@ -141,3 +141,79 @@ def test_adc_wire_matches_vbz_wire(tmp_path):
         a = a.sort_values(a.columns[0]).reset_index(drop=True)
         b = b.sort_values(b.columns[0]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_predictions_only_run_uses_decision_lane(tmp_path, monkeypatch):
+    """VERDICT r2 #2: a predictions-only demux run must build the
+    outputs="decision" step (pred/conf/probs/fail only cross the link,
+    ~13+4k B/read) while boundary- or fingerprint-requesting runs keep the
+    full step. Asserted via the step-output type actually dispatched."""
+    import warpdemux_tpu.pipeline.run as run_mod
+    from warpdemux_tpu.pipeline.step import (
+        DecisionStepOutput,
+        PackedStepOutput,
+        make_demux_step,
+    )
+
+    seen = {}
+    real = make_demux_step
+
+    def spy(*args, **kwargs):
+        seen["outputs"] = kwargs.get("outputs", "full")
+        step = real(*args, **kwargs)
+
+        def wrapped(*a):
+            res = step(*a)
+            seen["type"] = type(res)
+            return res
+
+        return wrapped
+
+    monkeypatch.setattr(run_mod, "make_demux_step", spy)
+
+    out = tmp_path / "decision"
+    _cli("demux", "-i", POD5, "-o", str(out), *COMMON)
+    assert seen["outputs"] == "decision"
+    assert seen["type"] is DecisionStepOutput
+    preds = _read_csvs(str(out / "predictions" / "*.csv.gz"))
+    fails = _read_csvs(str(out / "failed_reads" / "*.csv.gz"))
+    assert len(preds) + len(fails) == 200
+    assert list(fails.columns) == ["read_id", "fail_reason"]
+
+    out2 = tmp_path / "full"
+    _cli("demux", "-i", POD5, "-o", str(out2), "--save_boundaries", *COMMON)
+    assert seen["outputs"] == "full"
+    assert seen["type"] is PackedStepOutput
+    # decision lane and full lane agree on every call
+    p2 = _read_csvs(str(out2 / "predictions" / "*.csv.gz"))
+    m = preds.merge(p2, on="#read_id", suffixes=("_d", "_f"))
+    assert len(m) == len(preds) == len(p2)
+    assert (m["predicted_barcode_d"] == m["predicted_barcode_f"]).all()
+
+
+def test_predict_accounts_for_every_read(tmp_path):
+    """VERDICT r2 #8: predict mode routes non-finite fingerprints to
+    failed_reads instead of silently dropping them —
+    predictions + failures == inputs."""
+    out_p = tmp_path / "prep"
+    _cli("prep", "-i", POD5, "-o", str(out_p), *COMMON)
+    fpts = sorted(glob.glob(str(out_p / "fingerprints" / "*.npz")))
+    assert fpts
+    with np.load(fpts[0], allow_pickle=True) as z:
+        arrays = {k: z[k] for k in z.files}
+    n_in = len(arrays["read_ids"])
+    arrays["signals"] = arrays["signals"].copy()
+    arrays["signals"][0, :] = np.nan  # poison one fingerprint
+    np.savez(fpts[0], **arrays)
+    n_fail_prep = len(
+        _read_csvs(str(out_p / "failed_reads" / "*.csv.gz"))
+    )
+    _cli("predict", str(out_p))
+    preds = _read_csvs(str(out_p / "predictions" / "*.csv.gz"))
+    fails = _read_csvs(str(out_p / "failed_reads" / "*.csv.gz"))
+    assert len(preds) == n_in - 1
+    assert len(fails) == n_fail_prep + 1
+    poisoned = fails[fails["fail_reason"] == "non-finite fingerprint"]
+    assert len(poisoned) == 1
+    assert poisoned["read_id"].iloc[0] == str(arrays["read_ids"][0])
+    assert len(preds) + 1 == n_in

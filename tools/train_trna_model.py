@@ -128,6 +128,9 @@ def main():
         thresholds=np.zeros(len(BARCODES) + 1),
     )
     arrays["model_type"] = np.str_("dtw_svm")
+    # synthetic-trained replacement for a missing upstream blob: mark it so
+    # load_model warns and users can't mistake it for published weights
+    arrays["stand_in"] = np.array(True)
     out_path = MODEL_DIR / f"{args.out}.npz"
     np.savez_compressed(out_path, **arrays)
     print(f"saved {out_path} (X_sv {arrays['X_sv'].shape})")

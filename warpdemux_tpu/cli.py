@@ -231,10 +231,17 @@ def _cmd_predict(args):
         raise SystemExit(f"no fingerprints found in {args.input}/fingerprints")
     _setup_logging(args.input)
     spc = get_model_spc_config(model_name)
+    # failed_reads shards from the prep run already occupy bidx 0..N; the
+    # predict pass (non-finite fingerprints) continues the numbering
+    from warpdemux_tpu.pipeline.resume import scan_processed_reads
+
+    _, _, bidx_fail, _ = scan_processed_reads(args.input, "fingerprints")
     config = Config(
         input=InputConfig(files=fpt_files),
         output=OutputConfig(output_dir=args.input, save_predictions=True),
-        batch=BatchConfig(batch_size_output=args.batch_size_output),
+        batch=BatchConfig(
+            batch_size_output=args.batch_size_output, bidx_fail=bidx_fail
+        ),
         task=TaskConfig(command="predict", preprocess=False, predict=True),
         classif=ClassifConfig(model_name=model_name),
         sig_proc=spc,

@@ -112,9 +112,14 @@ class Session:
         self.reporter = LiveReporter(config.save_path, run_id, model.n_classes)
         self.crud = ChannelRepeatedUnblockDuration()
         self.fpt_queue: queue.Queue = queue.Queue()
+        # missed_obs is tracked as a bounded running aggregate (count, sum,
+        # last) rather than a per-chunk list: one float per chunk would grow
+        # without bound over a multi-hour run. The mean is reported at
+        # shutdown like the reference's skip stats (session.py:140-145).
         self.skip_stats = dict(
-            missed_obs=[],  # per-chunk missed-sample counts (reference
-            # session.py:287-291 appends the value; missed_reads counts)
+            missed_obs_n=0,
+            missed_obs_sum=0.0,
+            missed_obs_last=0,
             missed_reads=0,
             too_long_reads=0,
             not_real_read=0,
@@ -318,7 +323,10 @@ class Session:
         # read start_sample (negative means the read started inside this
         # chunk); too many missed samples means the adapter is gone
         missed_obs = read.chunk_start - read.start_sample
-        self.skip_stats["missed_obs"].append(missed_obs)
+        ss = self.skip_stats
+        ss["missed_obs_n"] += 1
+        ss["missed_obs_sum"] += missed_obs
+        ss["missed_obs_last"] = missed_obs
         if missed_obs > cfg.max_missed_start_offset:
             self.skip_stats["missed_reads"] += 1
             self.client.stop_receiving_read(channel, read.read_number)
@@ -329,6 +337,15 @@ class Session:
                 accepted=True, balancer=-1, chunk_len=sig.size,
             )
             return
+        if missed_obs < 0:
+            # the read started inside this captured chunk: the leading
+            # -missed_obs samples belong to the previous read / open pore
+            # and must not enter polyA detection or the adapter region
+            # (reference session.py:316-317, calibrated_signal[-missed_obs:]).
+            # Trimming here (rather than in the cache) stays consistent
+            # across accumulated chunks because chunk_start/start_sample
+            # are fixed per read, so every re-delivery trims identically.
+            sig = sig[-missed_obs:]
         if sig.size > cfg.max_chunk_size:
             self.skip_stats["too_long_reads"] += 1
             self.client.stop_receiving_read(channel, read.read_number)
@@ -364,4 +381,14 @@ class Session:
         self._stop.set()
         self._classifier_thread.join()
         self.balancers.stop()
+        ss = self.skip_stats
+        mean_missed = ss["missed_obs_sum"] / max(ss["missed_obs_n"], 1)
+        print(
+            "skip stats: "
+            f"missed_reads={ss['missed_reads']} "
+            f"too_long_reads={ss['too_long_reads']} "
+            f"not_real_read={ss['not_real_read']} "
+            f"no_polya_yet={ss['no_polya_yet']} "
+            f"mean_missed_obs={mean_missed:.1f} over {ss['missed_obs_n']} chunks"
+        )
         self.reporter.close()

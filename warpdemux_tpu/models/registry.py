@@ -52,6 +52,19 @@ def load_model(name: str, dtype=np.float32):
     DTW_SVM / DTW_MLP / Fpt_Boost, warpdemux/models/); absent means
     dtw_svm (all shipped reference models are DTW_SVM, SURVEY 2.6)."""
     arrays = load_model_arrays(name)
+    if bool(arrays.get("stand_in", False)):
+        # in-repo-trained replacement for an upstream model whose blob is
+        # missing from the reference checkout (e.g. the tRNA joblibs):
+        # same form, NOT the published weights — never let a user mistake
+        # it for the reference-trained model of the same name
+        import logging
+
+        logging.warning(
+            "model %r is an in-repo-trained STAND-IN (the upstream model "
+            "file is a missing blob in the reference checkout); barcode "
+            "calls will not match the published model",
+            name,
+        )
     mtype = str(arrays.get("model_type", "dtw_svm"))
     if mtype == "dtw_svm":
         from warpdemux_tpu.models.dtw_svm import DTWSVMModel

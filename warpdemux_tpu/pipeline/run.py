@@ -26,7 +26,7 @@ from warpdemux_tpu.config.config import Config
 from warpdemux_tpu.detect.containers import fail_code_to_reason
 from warpdemux_tpu.io.pod5 import yield_vbz_batches
 from warpdemux_tpu.io import writers
-from warpdemux_tpu.pipeline.step import make_demux_step
+from warpdemux_tpu.pipeline.step import PackedStepOutput, make_demux_step
 
 
 class _ShardAccumulator:
@@ -75,11 +75,14 @@ class _Progress:
     the expected total is counted in a background thread so the run starts
     immediately; bars update as the main loop reports."""
 
+    LOG_EVERY_S = 15.0  # headless (non-TTY) progress-log cadence
+
     def __init__(self, stats: RunStats, total_fn, label: str):
         self.stats = stats
         self.total = None
         self._bars = None
         self._label = label
+        self._last_log = time.monotonic()
         self._stop = threading.Event()
         threading.Thread(
             target=self._count_total, args=(total_fn,), daemon=True
@@ -113,7 +116,11 @@ class _Progress:
             b_tot.n, b_fail.n, b_pass.n = s.total, s.failed, s.passed
             for b in self._bars:
                 b.refresh()
-        elif s.total and s.total % 10000 < 1000:
+        elif time.monotonic() - self._last_log >= self.LOG_EVERY_S:
+            # headless runs (the normal TPU case) get a log line on a time
+            # cadence, mirroring the reference's 1 s tqdm refresh
+            # (file_proc.py:783-880) at a log-friendly interval
+            self._last_log = time.monotonic()
             tot = f"/{self.total}" if self.total else ""
             logging.info(
                 "progress: %d%s reads (%d %s, %d failed)",
@@ -125,6 +132,18 @@ class _Progress:
         if self._bars:
             for b in self._bars:
                 b.close()
+
+
+def select_outputs_mode(config: Config) -> str:
+    """"decision" when the run only needs barcode calls (no boundary or
+    fingerprint output requested), else "full"."""
+    if (
+        config.task.predict
+        and not config.output.save_boundaries
+        and not config.output.save_fpts
+    ):
+        return "decision"
+    return "full"
 
 
 def run_demux(config: Config, model=None) -> RunStats:
@@ -158,8 +177,15 @@ def run_demux(config: Config, model=None) -> RunStats:
             logging.info("sharding minibatches over %d devices", n_dev)
 
     wire = config.batch.wire
+    # predictions-only runs use the decision lane: only pred/conf/probs/fail
+    # cross the device->host link (~13+4k B/read instead of ~370) and XLA
+    # strips the unused boundary/fingerprint outputs from the program — the
+    # TPU analog of the reference's predict-only worker that skips
+    # boundary/fpt output entirely (file_proc.py:457-497).
+    outputs_mode = select_outputs_mode(config)
     step = make_demux_step(
-        model, spc, with_predict=do_predict, input_format=wire, mesh=mesh
+        model, spc, with_predict=do_predict, input_format=wire, mesh=mesh,
+        outputs=outputs_mode,
     )
 
     B = config.batch.minibatch_size
@@ -287,6 +313,38 @@ def run_demux(config: Config, model=None) -> RunStats:
         ).count_reads(config.input.files),
         label="pass" if not do_predict else "predicted",
     )
+    def postprocess_decision(res, n, read_ids):
+        """Decision-lane postprocess: predictions + a minimal failed-reads
+        table (read_id + fail_reason; the boundary columns were never
+        fetched — request --save_boundaries for the full failure table)."""
+        success = np.asarray(res.success)[:n]
+        fail_code = np.asarray(res.fail_code)[:n]
+        stats.total += n
+        stats.passed += int(success.sum())
+        stats.failed += int((~success).sum())
+        if not success.all():
+            ids = np.asarray(read_ids)
+            fail_acc.add(
+                pd.DataFrame(
+                    {
+                        "read_id": list(ids[~success]),
+                        "fail_reason": fail_code_to_reason(
+                            fail_code[~success]
+                        ),
+                    }
+                )
+            )
+        if success.any():
+            pred = np.asarray(res.pred)[:n][success]
+            conf = np.asarray(res.conf)[:n][success]
+            probs = np.asarray(res.probs)[:n][success]
+            df = model.predictions_to_df(
+                np.asarray(read_ids)[success], pred, conf, probs
+            )
+            pred_acc.add(df)
+            stats.predicted += len(df)
+        progress.update()
+
     def postprocess(res, n, full_lens, read_ids, in_lens):
         nonlocal fpt_count
         success = np.asarray(res.success)[:n]
@@ -354,14 +412,21 @@ def run_demux(config: Config, model=None) -> RunStats:
     results: queue.Queue = queue.Queue(maxsize=3)
 
     def postproc_worker():
+        # ALL RunStats mutation happens on this thread (dispatch failures
+        # arrive as res=None sentinels), so the counters need no lock.
         while True:
             item = results.get()
             if item is None:
                 return
             res, n, full_lens, read_ids, in_lens = item
             try:
-                res = jax.device_get(res).unpack()
-                postprocess(res, n, full_lens, read_ids, in_lens)
+                if res is None:
+                    raise RuntimeError("minibatch dispatch failed")
+                res = jax.device_get(res)
+                if isinstance(res, PackedStepOutput):
+                    postprocess(res.unpack(), n, full_lens, read_ids, in_lens)
+                else:
+                    postprocess_decision(res, n, read_ids)
             except Exception:
                 # a poisoned minibatch must not kill the run (reference
                 # file_proc.py:1179-1184); its reads are dropped and logged
@@ -389,9 +454,7 @@ def run_demux(config: Config, model=None) -> RunStats:
                 n,
                 read_ids[0] if len(read_ids) else "-",
             )
-            stats.total += n
-            stats.failed += n
-            continue
+            res = None  # accounted on the postproc thread
         results.put((res, n, full_lens, read_ids, in_lens))
     results.put(None)
     pp_thread.join()
@@ -429,6 +492,13 @@ def run_predict_from_fpts(config: Config, model=None) -> RunStats:
         config.batch.batch_size_output,
         config.batch.bidx_predict,
     )
+    fail_acc = _ShardAccumulator(
+        lambda df, b: writers.save_boundaries(
+            df, out.output_dir_fail, b, failed=True
+        ),
+        config.batch.batch_size_output,
+        config.batch.bidx_fail,
+    )
     stats = RunStats()
     excl = config.input.read_ids_excl
     for npz_file in config.input.files:
@@ -448,7 +518,21 @@ def run_predict_from_fpts(config: Config, model=None) -> RunStats:
             df = model.predictions_to_df(ids[finite], pred, conf, probs)
             pred_acc.add(df)
             stats.predicted += len(df)
+        if not finite.all():
+            # every read lands in predictions or failed_reads — never
+            # silently dropped (reference routes every read one way or the
+            # other, file_proc.py:457-497)
+            fail_acc.add(
+                pd.DataFrame(
+                    {
+                        "read_id": list(ids[~finite]),
+                        "fail_reason": "non-finite fingerprint",
+                    }
+                )
+            )
+            stats.failed += int((~finite).sum())
         stats.total += len(ids)
     pred_acc.close()
+    fail_acc.close()
     stats.elapsed_s = time.time() - t0
     return stats

@@ -149,14 +149,18 @@ class DecisionStepOutput(NamedTuple):
     """Decision-lane outputs: barcode call + confidence + fail taxonomy.
 
     The predictions-only demux path (no --save_boundaries/--save_fpts)
-    and the live-balancing lane only need these ~13 bytes/read back from
-    the device; the full boundary/fingerprint columns (~370 bytes/read)
-    stay on device."""
+    and the live-balancing lane only need these ~13+4k bytes/read back
+    from the device (k = number of classes; the per-class probabilities
+    are part of the reference's predictions-CSV contract,
+    models/utils.py:36-43); the full boundary/fingerprint columns
+    (~370 bytes/read) stay on device and XLA dead-code-eliminates their
+    computation from the fused program."""
 
     pred: jnp.ndarray  # (B,) int32
     conf: jnp.ndarray  # (B,) f32
     fail_code: jnp.ndarray  # (B,) int32 merged taxonomy
     success: jnp.ndarray  # (B,) bool
+    probs: jnp.ndarray  # (B, k) f32 per-class probabilities
 
 
 def make_demux_step(
@@ -341,7 +345,7 @@ def make_demux_step(
         if outputs == "decision":
             return DecisionStepOutput(
                 pred=i32(pred), conf=f32(conf), fail_code=i32(fail),
-                success=success,
+                success=success, probs=f32(probs),
             )
         det_i = jnp.stack(
             [
