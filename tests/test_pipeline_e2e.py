@@ -184,6 +184,17 @@ def test_predictions_only_run_uses_decision_lane(tmp_path, monkeypatch):
     _cli("demux", "-i", POD5, "-o", str(out2), "--save_boundaries", *COMMON)
     assert seen["outputs"] == "full"
     assert seen["type"] is PackedStepOutput
+    # per-method result columns (VERDICT r2 #6, reference README.md:443-446):
+    # cnn is the configured primary for RNA004 mRNA, llr the fallback
+    bounds = _read_csvs(str(out2 / "boundaries" / "*.csv.gz"))
+    fails2 = _read_csvs(str(out2 / "failed_reads" / "*.csv.gz"))
+    for df in (bounds, fails2):
+        for col in (
+            "cnn_polya_start", "cnn_fail_reason", "llr_polya_start",
+            "llr_fail_reason", "mvs_med_shift", "mvs_min_polya_var",
+        ):
+            assert col in df.columns, col
+    assert "fail_reason" not in bounds.columns
     # decision lane and full lane agree on every call
     p2 = _read_csvs(str(out2 / "predictions" / "*.csv.gz"))
     m = preds.merge(p2, on="#read_id", suffixes=("_d", "_f"))

@@ -522,6 +522,8 @@ def detect_boundaries_batch(
     fail = set_fail(fail, ad_too_short, 3)
     fail = set_fail(fail, ad_too_long, 4)
 
+    mvs_shift_val = jnp.zeros(B, jnp.float32)
+    mvs_minvar_val = jnp.zeros(B, jnp.float32)
     if cfg.mvs_detect_check:
         # median shift adapter->polyA, plus flatness of the *flattest*
         # var_window inside the polyA region (the region may legitimately
@@ -538,6 +540,7 @@ def detect_boundaries_batch(
             min_pa_var > cfg.polya_var_max
         )
         fail = set_fail(fail, mvs_bad, 5)
+        mvs_shift_val, mvs_minvar_val = med_shift, min_pa_var
 
     if cfg.real_signal_check:
         # local range plausibility on the downsampled adapter region
@@ -605,6 +608,21 @@ def detect_boundaries_batch(
         rna_med=rna_med,
         rna_mad=rna_mad,
         used_llr_fallback=jnp.zeros(B, bool),
+        mvs_med_shift=mvs_shift_val,
+        mvs_min_polya_var=mvs_minvar_val,
+        # single-method pass: its own results double as the per-method
+        # columns (the fallback wrapper overwrites these with the per-pass
+        # values after merging)
+        prim_adapter_start=adapter_start,
+        prim_adapter_end=adapter_end,
+        prim_polya_start=polya_start,
+        prim_polya_end=polya_end,
+        prim_fail=fail,
+        llr_adapter_start=adapter_start,
+        llr_adapter_end=adapter_end,
+        llr_polya_start=polya_start,
+        llr_polya_end=polya_end,
+        llr_fail=fail,
     )
 
 
@@ -657,6 +675,18 @@ def detect_boundaries_with_fallback(
     means, stds, meds, mads = _region_stats_fused(x, pos, starts, ends)
     return merged._replace(
         used_llr_fallback=use_llr,
+        # per-method results (README.md:443-446): each pass's raw
+        # boundaries + fail code, pre-merge
+        prim_adapter_start=primary.adapter_start,
+        prim_adapter_end=primary.adapter_end,
+        prim_polya_start=primary.polya_start,
+        prim_polya_end=primary.polya_end,
+        prim_fail=primary.fail_code,
+        llr_adapter_start=llr.adapter_start,
+        llr_adapter_end=llr.adapter_end,
+        llr_polya_start=llr.polya_start,
+        llr_polya_end=llr.polya_end,
+        llr_fail=llr.fail_code,
         adapter_mean=means[0],
         adapter_std=stds[0],
         adapter_med=meds[0],

@@ -76,44 +76,88 @@ class DetectArrays(NamedTuple):
     # the final boundaries came from the LLR fallback rather than the
     # primary method
     used_llr_fallback: jnp.ndarray = None
+    # [mvs_polya] check values on these boundaries (README.md:443-446 mvs_*
+    # results): adapter->polyA median shift and the flattest var_window
+    # variance inside the polyA region
+    mvs_med_shift: jnp.ndarray = None
+    mvs_min_polya_var: jnp.ndarray = None
+    # per-method results (README.md:443-446 llr_*/cnn_* columns): the raw
+    # boundaries + fail code each detection method produced BEFORE the
+    # fallback merge, so method behavior can be compared post-hoc without
+    # re-running detection. prim_* = the configured primary method; llr_* =
+    # the LLR pass (identical to prim_* when llr IS the primary).
+    prim_adapter_start: jnp.ndarray = None
+    prim_adapter_end: jnp.ndarray = None
+    prim_polya_start: jnp.ndarray = None
+    prim_polya_end: jnp.ndarray = None
+    prim_fail: jnp.ndarray = None
+    llr_adapter_start: jnp.ndarray = None
+    llr_adapter_end: jnp.ndarray = None
+    llr_polya_start: jnp.ndarray = None
+    llr_polya_end: jnp.ndarray = None
+    llr_fail: jnp.ndarray = None
 
-    def to_summary_frame(self, read_ids, full_lengths, in_lengths):
+    def to_summary_frame(
+        self, read_ids, full_lengths, in_lengths, primary_method: str = "llr"
+    ):
         """Rows for detected_boundaries/failed_reads CSVs
-        (column contract: README.md:425-457)."""
+        (column contract: README.md:425-457; per-method columns use the
+        configured primary method's name as prefix, :443-446)."""
         import pandas as pd
 
         g = lambda a: np.asarray(a)
-        return pd.DataFrame(
-            {
-                "read_id": list(read_ids),
-                "signal_len": np.asarray(full_lengths),
-                "preloaded": np.asarray(in_lengths),
-                "adapter_start": g(self.adapter_start),
-                "adapter_end": g(self.adapter_end),
-                "adapter_len": g(self.adapter_end) - g(self.adapter_start),
-                "adapter_mean": g(self.adapter_mean),
-                "adapter_std": g(self.adapter_std),
-                "adapter_med": g(self.adapter_med),
-                "adapter_mad": g(self.adapter_mad),
-                "polya_start": g(self.polya_start),
-                "polya_end": g(self.polya_end),
-                "polya_len": g(self.polya_end) - g(self.polya_start),
-                "polya_mean": g(self.polya_mean),
-                "polya_std": g(self.polya_std),
-                "polya_med": g(self.polya_med),
-                "polya_mad": g(self.polya_mad),
-                "polya_candidates": g(self.polya_candidates),
-                "rna_preloaded_start": g(self.rna_start),
-                "rna_preloaded_len": g(self.rna_len),
-                "rna_preloaded_mean": g(self.rna_mean),
-                "rna_preloaded_std": g(self.rna_std),
-                "rna_preloaded_med": g(self.rna_med),
-                "rna_preloaded_mad": g(self.rna_mad),
-                "used_llr_fallback": (
-                    g(self.used_llr_fallback)
-                    if self.used_llr_fallback is not None
-                    else np.zeros(len(read_ids), bool)
-                ),
-                "fail_reason": fail_code_to_reason(g(self.fail_code)),
-            }
-        )
+        B = len(read_ids)
+        zf = lambda a: g(a) if a is not None else np.zeros(B, np.float32)
+        cols = {
+            "read_id": list(read_ids),
+            "signal_len": np.asarray(full_lengths),
+            "preloaded": np.asarray(in_lengths),
+            "adapter_start": g(self.adapter_start),
+            "adapter_end": g(self.adapter_end),
+            "adapter_len": g(self.adapter_end) - g(self.adapter_start),
+            "adapter_mean": g(self.adapter_mean),
+            "adapter_std": g(self.adapter_std),
+            "adapter_med": g(self.adapter_med),
+            "adapter_mad": g(self.adapter_mad),
+            "polya_start": g(self.polya_start),
+            "polya_end": g(self.polya_end),
+            "polya_len": g(self.polya_end) - g(self.polya_start),
+            "polya_mean": g(self.polya_mean),
+            "polya_std": g(self.polya_std),
+            "polya_med": g(self.polya_med),
+            "polya_mad": g(self.polya_mad),
+            "polya_candidates": g(self.polya_candidates),
+            "rna_preloaded_start": g(self.rna_start),
+            "rna_preloaded_len": g(self.rna_len),
+            "rna_preloaded_mean": g(self.rna_mean),
+            "rna_preloaded_std": g(self.rna_std),
+            "rna_preloaded_med": g(self.rna_med),
+            "rna_preloaded_mad": g(self.rna_mad),
+            "used_llr_fallback": (
+                g(self.used_llr_fallback)
+                if self.used_llr_fallback is not None
+                else np.zeros(B, bool)
+            ),
+            "mvs_med_shift": zf(self.mvs_med_shift),
+            "mvs_min_polya_var": zf(self.mvs_min_polya_var),
+        }
+        # per-method result columns — only when the detect pass recorded them
+        if self.llr_fail is not None:
+            methods = [
+                ("llr", self.llr_adapter_start, self.llr_adapter_end,
+                 self.llr_polya_start, self.llr_polya_end, self.llr_fail),
+            ]
+            if primary_method != "llr" and self.prim_fail is not None:
+                methods.insert(0, (
+                    primary_method, self.prim_adapter_start,
+                    self.prim_adapter_end, self.prim_polya_start,
+                    self.prim_polya_end, self.prim_fail,
+                ))
+            for name, a0, a1, p0, p1, fc in methods:
+                cols[f"{name}_adapter_start"] = g(a0)
+                cols[f"{name}_adapter_end"] = g(a1)
+                cols[f"{name}_polya_start"] = g(p0)
+                cols[f"{name}_polya_end"] = g(p1)
+                cols[f"{name}_fail_reason"] = fail_code_to_reason(g(fc))
+        cols["fail_reason"] = fail_code_to_reason(g(self.fail_code))
+        return pd.DataFrame(cols)

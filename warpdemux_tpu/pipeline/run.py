@@ -357,7 +357,10 @@ def run_demux(config: Config, model=None) -> RunStats:
 
         det_n = DetectArrays(*[np.asarray(a)[:n] for a in res.detect])
         det_df = det_n.to_summary_frame(
-            read_ids, full_lens, np.asarray(in_lens)[:n]
+            read_ids,
+            full_lens,
+            np.asarray(in_lens)[:n],
+            primary_method=spc.detect.method,
         )
         fptA = res.fpt
         for col, arr in [

@@ -60,15 +60,11 @@ class PackedStepOutput(NamedTuple):
     round-trip cost on every dispatch/fetch (measured ~0.9 ms per buffer
     per minibatch on this tunnel, ~40 columns unpacked), and fewer/larger
     D2H transfers are cheaper on any transport. pred/conf/success stay
-    separate so the hot decision fetch is tiny. `unpack()` restores the
-    full DemuxStepOutput view on the host after device_get.
+    separate so the hot decision fetch is tiny.
 
-    Layouts (k = barcode_num_events, kc = n_classes):
-      big_i (B, 11+k) i32: a_start, a_end, p_start, p_end, p_cands,
-        rna_start, rna_len, det_fail | used_llr_fallback, fpt_ok,
-        merged_fail | dwell(k)
-      big_f (B, 18+k+kc) f32: adapter/polya/rna mean/std/med/mad (12) |
-        fpt(k) | dt_med, dt_mad, ev mean/std/med/mad (6) | probs(kc)
+    The column layout lives in ONE place — pipeline/schema.PackSchema —
+    which both `_pack` (device side) and `unpack()` (host side) iterate,
+    so the two sides cannot drift.
     """
 
     big_i: jnp.ndarray
@@ -80,67 +76,79 @@ class PackedStepOutput(NamedTuple):
 
     @property
     def probs(self):
-        k = self.big_i.shape[1] - 11
-        return self.big_f[:, 18 + k :]
+        from warpdemux_tpu.pipeline.schema import PackSchema
+
+        schema = PackSchema.from_buffers(self.big_i, self.big_f)
+        return self.big_f[:, schema.float_slices["probs"]]
 
     def unpack(self) -> DemuxStepOutput:
         """Host-side view reconstruction (call after device_get)."""
+        from warpdemux_tpu.pipeline.schema import PackSchema
+
         big_i = np.asarray(self.big_i)
         big_f = np.asarray(self.big_f)
-        k = big_i.shape[1] - 11
-        det_i = big_i[:, :8]
-        flags = big_i[:, 8:11]
-        dwell = big_i[:, 11:]
-        det_f = big_f[:, :12]
-        fpt_f = big_f[:, 12 : 18 + k]
-        probs = big_f[:, 18 + k :]
+        schema = PackSchema.from_buffers(big_i, big_f)
+        ci = schema.unpack(big_i, np.int32)
+        cf = schema.unpack(big_f, np.float32)
         det = DetectArrays(
-            success=det_i[:, 7] == 0,
-            fail_code=det_i[:, 7],
-            adapter_start=det_i[:, 0],
-            adapter_end=det_i[:, 1],
-            polya_start=det_i[:, 2],
-            polya_end=det_i[:, 3],
-            polya_candidates=det_i[:, 4],
-            adapter_mean=det_f[:, 0],
-            adapter_std=det_f[:, 1],
-            adapter_med=det_f[:, 2],
-            adapter_mad=det_f[:, 3],
-            polya_mean=det_f[:, 4],
-            polya_std=det_f[:, 5],
-            polya_med=det_f[:, 6],
-            polya_mad=det_f[:, 7],
-            rna_start=det_i[:, 5],
-            rna_len=det_i[:, 6],
-            rna_mean=det_f[:, 8],
-            rna_std=det_f[:, 9],
-            rna_med=det_f[:, 10],
-            rna_mad=det_f[:, 11],
-            used_llr_fallback=flags[:, 0].astype(bool),
+            success=ci["det_fail"] == 0,
+            fail_code=ci["det_fail"],
+            adapter_start=ci["adapter_start"],
+            adapter_end=ci["adapter_end"],
+            polya_start=ci["polya_start"],
+            polya_end=ci["polya_end"],
+            polya_candidates=ci["polya_candidates"],
+            adapter_mean=cf["adapter_mean"],
+            adapter_std=cf["adapter_std"],
+            adapter_med=cf["adapter_med"],
+            adapter_mad=cf["adapter_mad"],
+            polya_mean=cf["polya_mean"],
+            polya_std=cf["polya_std"],
+            polya_med=cf["polya_med"],
+            polya_mad=cf["polya_mad"],
+            rna_start=ci["rna_start"],
+            rna_len=ci["rna_len"],
+            rna_mean=cf["rna_mean"],
+            rna_std=cf["rna_std"],
+            rna_med=cf["rna_med"],
+            rna_mad=cf["rna_mad"],
+            used_llr_fallback=ci["used_llr_fallback"].astype(bool),
+            mvs_med_shift=cf["mvs_med_shift"],
+            mvs_min_polya_var=cf["mvs_min_polya_var"],
+            prim_adapter_start=ci["prim_adapter_start"],
+            prim_adapter_end=ci["prim_adapter_end"],
+            prim_polya_start=ci["prim_polya_start"],
+            prim_polya_end=ci["prim_polya_end"],
+            prim_fail=ci["prim_fail"],
+            llr_adapter_start=ci["llr_adapter_start"],
+            llr_adapter_end=ci["llr_adapter_end"],
+            llr_polya_start=ci["llr_polya_start"],
+            llr_polya_end=ci["llr_polya_end"],
+            llr_fail=ci["llr_fail"],
         )
         fpt = FingerprintArrays(
-            ok=flags[:, 1].astype(bool),
-            fpt=fpt_f[:, :k],
-            dwell=dwell,
-            adapter_dt_med=fpt_f[:, k + 0],
-            adapter_dt_mad=fpt_f[:, k + 1],
-            adapter_event_mean=fpt_f[:, k + 2],
-            adapter_event_std=fpt_f[:, k + 3],
-            adapter_event_med=fpt_f[:, k + 4],
-            adapter_event_mad=fpt_f[:, k + 5],
+            ok=ci["fpt_ok"].astype(bool),
+            fpt=cf["fpt"],
+            dwell=ci["dwell"],
+            adapter_dt_med=cf["adapter_dt_med"],
+            adapter_dt_mad=cf["adapter_dt_mad"],
+            adapter_event_mean=cf["adapter_event_mean"],
+            adapter_event_std=cf["adapter_event_std"],
+            adapter_event_med=cf["adapter_event_med"],
+            adapter_event_mad=cf["adapter_event_mad"],
         )
         cons = None
         if self.cons_i is not None:
-            ci = np.asarray(self.cons_i)
-            cons = ConsensusView(ci[:, 0], ci[:, 1], ci[:, 2])
+            cons_arr = np.asarray(self.cons_i)
+            cons = ConsensusView(cons_arr[:, 0], cons_arr[:, 1], cons_arr[:, 2])
         return DemuxStepOutput(
             detect=det,
             fpt=fpt,
-            fail_code=flags[:, 2],
+            fail_code=ci["merged_fail"],
             success=np.asarray(self.success),
             pred=np.asarray(self.pred),
             conf=np.asarray(self.conf),
-            probs=probs,
+            probs=cf["probs"],
             consensus=cons,
         )
 
@@ -347,50 +355,60 @@ def make_demux_step(
                 pred=i32(pred), conf=f32(conf), fail_code=i32(fail),
                 success=success, probs=f32(probs),
             )
-        det_i = jnp.stack(
-            [
-                i32(det.adapter_start),
-                i32(det.adapter_end),
-                i32(det.polya_start),
-                i32(det.polya_end),
-                i32(det.polya_candidates),
-                i32(det.rna_start),
-                i32(det.rna_len),
-                i32(det.fail_code),
-            ],
-            axis=1,
-        )
-        det_f = jnp.stack(
-            [
-                f32(det.adapter_mean), f32(det.adapter_std),
-                f32(det.adapter_med), f32(det.adapter_mad),
-                f32(det.polya_mean), f32(det.polya_std),
-                f32(det.polya_med), f32(det.polya_mad),
-                f32(det.rna_mean), f32(det.rna_std),
-                f32(det.rna_med), f32(det.rna_mad),
-            ],
-            axis=1,
-        )
-        ulf = (
-            det.used_llr_fallback
-            if det.used_llr_fallback is not None
-            else jnp.zeros_like(fail)
-        )
-        flags = jnp.stack([i32(ulf), i32(fpt.ok), i32(fail)], axis=1)
-        fpt_f = jnp.concatenate(
-            [
-                f32(fpt.fpt),
-                jnp.stack(
-                    [
-                        f32(fpt.adapter_dt_med), f32(fpt.adapter_dt_mad),
-                        f32(fpt.adapter_event_mean), f32(fpt.adapter_event_std),
-                        f32(fpt.adapter_event_med), f32(fpt.adapter_event_mad),
-                    ],
-                    axis=1,
-                ),
-            ],
-            axis=1,
-        )
+        from warpdemux_tpu.pipeline.schema import PackSchema
+
+        B = fail.shape[0]
+        schema = PackSchema(k=fpt.fpt.shape[1], kc=probs.shape[1])
+        zi = lambda a: a if a is not None else jnp.zeros(B, jnp.int32)
+        zf = lambda a: a if a is not None else jnp.zeros(B, jnp.float32)
+        int_vals = {
+            "adapter_start": det.adapter_start,
+            "adapter_end": det.adapter_end,
+            "polya_start": det.polya_start,
+            "polya_end": det.polya_end,
+            "polya_candidates": det.polya_candidates,
+            "rna_start": det.rna_start,
+            "rna_len": det.rna_len,
+            "det_fail": det.fail_code,
+            "used_llr_fallback": zi(det.used_llr_fallback),
+            "fpt_ok": fpt.ok,
+            "merged_fail": fail,
+            "prim_adapter_start": zi(det.prim_adapter_start),
+            "prim_adapter_end": zi(det.prim_adapter_end),
+            "prim_polya_start": zi(det.prim_polya_start),
+            "prim_polya_end": zi(det.prim_polya_end),
+            "prim_fail": zi(det.prim_fail),
+            "llr_adapter_start": zi(det.llr_adapter_start),
+            "llr_adapter_end": zi(det.llr_adapter_end),
+            "llr_polya_start": zi(det.llr_polya_start),
+            "llr_polya_end": zi(det.llr_polya_end),
+            "llr_fail": zi(det.llr_fail),
+            "dwell": fpt.dwell,
+        }
+        float_vals = {
+            "adapter_mean": det.adapter_mean,
+            "adapter_std": det.adapter_std,
+            "adapter_med": det.adapter_med,
+            "adapter_mad": det.adapter_mad,
+            "polya_mean": det.polya_mean,
+            "polya_std": det.polya_std,
+            "polya_med": det.polya_med,
+            "polya_mad": det.polya_mad,
+            "rna_mean": det.rna_mean,
+            "rna_std": det.rna_std,
+            "rna_med": det.rna_med,
+            "rna_mad": det.rna_mad,
+            "mvs_med_shift": zf(det.mvs_med_shift),
+            "mvs_min_polya_var": zf(det.mvs_min_polya_var),
+            "adapter_dt_med": fpt.adapter_dt_med,
+            "adapter_dt_mad": fpt.adapter_dt_mad,
+            "adapter_event_mean": fpt.adapter_event_mean,
+            "adapter_event_std": fpt.adapter_event_std,
+            "adapter_event_med": fpt.adapter_event_med,
+            "adapter_event_mad": fpt.adapter_event_mad,
+            "fpt": fpt.fpt,
+            "probs": probs,
+        }
         cons_i = (
             jnp.stack(
                 [
@@ -404,8 +422,8 @@ def make_demux_step(
             else None
         )
         return PackedStepOutput(
-            big_i=jnp.concatenate([det_i, flags, i32(fpt.dwell)], axis=1),
-            big_f=jnp.concatenate([det_f, fpt_f, f32(probs)], axis=1),
+            big_i=schema.pack(int_vals, jnp.int32),
+            big_f=schema.pack(float_vals, jnp.float32),
             cons_i=cons_i,
             success=success,
             pred=i32(pred),
