@@ -81,3 +81,101 @@ def test_two_process_distributed_counts(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} ok" in out, out
+
+
+def test_two_process_cli_demux(tmp_path):
+    """VERDICT r2 #3: multi-host as a CLI capability. Two processes run the
+    actual CLI against the same 2-file input with --coordinator/--num-
+    processes/--process-id; each host must take a disjoint file shard,
+    write host-tagged output shards, and log psum'd GLOBAL counts."""
+    import glob
+
+    import pandas as pd
+
+    fixtures = [
+        f"/root/reference/test_data/live_balancing/small_pod5_{i}.pod5"
+        for i in range(2)
+    ]
+    if not all(Path(f).exists() for f in fixtures):
+        pytest.skip("pod5 fixtures unavailable")
+
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    out_dir = tmp_path / "run"
+    out_dir.mkdir()
+    env_script = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, os.getcwd())
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("XLA_FLAGS", None)
+        from warpdemux_tpu.cli import main
+        sys.exit(main(sys.argv[1:]) or 0)
+        """
+    )
+    script = tmp_path / "cli_worker.py"
+    script.write_text(env_script)
+
+    def run(pid):
+        return subprocess.Popen(
+            [
+                sys.executable, str(script), "demux",
+                "-i", *fixtures,
+                "-o", str(out_dir),
+                "-m", "WDX4_rna004_v1_0",
+                "-b", "64",
+                "--no-create_subdir",
+                "--jax-platform", "cpu",
+                "--coordinator", coord,
+                "--num-processes", "2",
+                "--process-id", str(pid),
+            ],
+            cwd=str(Path(__file__).resolve().parents[1]),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    procs = [run(0), run(1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    # host-tagged shards for both hosts
+    pred_files = sorted(glob.glob(str(out_dir / "predictions" / "*.csv.gz")))
+    tags = {Path(f).name.split("_")[2] for f in pred_files}
+    assert tags == {"h000", "h001"}, pred_files
+
+    # disjoint read sets: each host processed only its file shard
+    by_host = {}
+    for tag in ("h000", "h001"):
+        frames = [
+            pd.read_csv(f)
+            for f in glob.glob(str(out_dir / "predictions" / f"*_{tag}_*"))
+        ]
+        by_host[tag] = set(pd.concat(frames)["#read_id"])
+    assert not (by_host["h000"] & by_host["h001"])
+
+    # global psum'd summary appears in both logs with total == 400 reads
+    # (2 fixtures x 200)
+    for out in outs:
+        assert "GLOBAL (2 hosts): 400 reads" in out, out[-2000:]
+    # and every read landed in predictions or failed_reads
+    fails = [
+        pd.read_csv(f)
+        for f in glob.glob(str(out_dir / "failed_reads" / "*.csv.gz"))
+    ]
+    n_fail = sum(len(f) for f in fails)
+    n_pred = len(by_host["h000"]) + len(by_host["h001"])
+    assert n_pred + n_fail == 400

@@ -60,6 +60,18 @@ def _add_common(p):
     p.add_argument("--profile-dir", default=None,
                    help="write a JAX/XLA profiler trace for the run "
                         "(view with tensorboard / xprof)")
+    # multi-host data parallelism (SURVEY 2.2: the reference scales by
+    # reads-parallelism over cores, file_proc.py:1197-1245; a pod slice
+    # scales by hosts: disjoint pod5 file shards per host, host-tagged
+    # output shards, psum'd global counters)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address (host:port); "
+                        "omit on single-host runs. On TPU pods with the "
+                        "standard environment, pass 'env' to autodetect")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for --coordinator runs")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index for --coordinator runs")
 
 
 def build_parser():
@@ -96,13 +108,19 @@ def build_parser():
     return ap
 
 
-def _init_jax(platform: str | None):
+def _init_jax(platform: str | None, coordinator: str | None = None,
+              num_processes: int | None = None, process_id: int | None = None):
     import jax
 
     from warpdemux_tpu.utils.jaxcache import enable_compilation_cache
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    if coordinator:
+        # must run before the backend is first queried
+        from warpdemux_tpu.parallel.multihost import init_distributed
+
+        init_distributed(coordinator, num_processes, process_id)
     enable_compilation_cache()
     return jax
 
@@ -144,9 +162,25 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
     if not files:
         raise SystemExit(f"no pod5 inputs found under {args.input}")
 
+    # multi-host: each process takes a disjoint file shard and tags its
+    # output shards (the pod-slice analog of the reference's per-process
+    # bidx shards, file_proc.py:1197-1245)
+    import jax
+
+    pi, pc = jax.process_index(), jax.process_count()
+    shard_tag = ""
+    if pc > 1:
+        from warpdemux_tpu.parallel.multihost import host_shard_tag, shard_files
+
+        files = shard_files(files, pi, pc)
+        shard_tag = host_shard_tag(pi) + "_"
+
     run_dir = run_dir or _make_run_dir(args.output, command, args.create_subdir)
     _setup_logging(run_dir)
-    logging.info("run dir: %s (%d pod5 files)", run_dir, len(files))
+    logging.info(
+        "run dir: %s (%d pod5 files%s)", run_dir, len(files),
+        f", host {pi}/{pc}" if pc > 1 else "",
+    )
 
     overrides = parse_export_overrides(args.export)
     spc = get_model_spc_config(args.model_name, overrides)
@@ -166,6 +200,7 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
             save_dwell_time=args.save_dwell_time,
             save_boundaries=args.save_boundaries or command == "prep",
             save_predictions=do_predict,
+            shard_tag=shard_tag,
         ),
         batch=BatchConfig(
             minibatch_size=args.minibatch_size,
@@ -180,14 +215,17 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
         classif=ClassifConfig(model_name=args.model_name),
         sig_proc=spc,
     )
-    config.write_command_json(sys.argv[1:])
-    # snapshot the resolved chemistry config into the run dir (reference
-    # main.py:69-71)
-    from warpdemux_tpu.config.utils import dump_toml, resolve_model_chemistry_dict
+    if pi == 0:  # one manifest per run, even when hosts share a filesystem
+        config.write_command_json(sys.argv[1:])
+        # snapshot the resolved chemistry config into the run dir (reference
+        # main.py:69-71)
+        from warpdemux_tpu.config.utils import (
+            dump_toml, resolve_model_chemistry_dict,
+        )
 
-    (Path(run_dir) / "config.toml").write_text(
-        dump_toml(resolve_model_chemistry_dict(args.model_name, overrides))
-    )
+        (Path(run_dir) / "config.toml").write_text(
+            dump_toml(resolve_model_chemistry_dict(args.model_name, overrides))
+        )
     if getattr(args, "profile_dir", None):
         import contextlib
 
@@ -296,7 +334,12 @@ def main(argv=None):
         args.input = args.input or args.input_dir
         if not args.input:
             raise SystemExit(f"{args.command} requires a run directory")
-    _init_jax(getattr(args, "jax_platform", None))
+    _init_jax(
+        getattr(args, "jax_platform", None),
+        getattr(args, "coordinator", None),
+        getattr(args, "num_processes", None),
+        getattr(args, "process_id", None),
+    )
     if args.command in ("demux", "prep"):
         return _run_batch_command(args, args.command)
     if args.command == "predict":

@@ -32,6 +32,9 @@ class OutputConfig:
     output_subdir_fail: str = "failed_reads"
     output_subdir_fpts: str = "fingerprints"
     output_subdir_boundaries: str = "boundaries"
+    # multi-host runs tag every shard file name (e.g. "h001_") so hosts
+    # sharing a filesystem never collide (parallel/multihost.host_shard_tag)
+    shard_tag: str = ""
 
     def __post_init__(self):
         o = self.output_dir

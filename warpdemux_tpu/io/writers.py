@@ -52,8 +52,10 @@ BOUNDARY_COLUMNS = [
 ]
 
 
-def save_predictions(df: pd.DataFrame, out_dir: str | Path, bidx: int) -> Path:
-    path = Path(out_dir) / f"barcode_predictions_{bidx}.csv.gz"
+def save_predictions(
+    df: pd.DataFrame, out_dir: str | Path, bidx: int, tag: str = ""
+) -> Path:
+    path = Path(out_dir) / f"barcode_predictions_{tag}{bidx}.csv.gz"
     df.to_csv(path, index=False, compression="gzip")
     return path
 
@@ -63,9 +65,10 @@ def save_boundaries(
     out_dir: str | Path,
     bidx: int,
     failed: bool = False,
+    tag: str = "",
 ) -> Path:
     name = "failed_reads" if failed else "detected_boundaries"
-    path = Path(out_dir) / f"{name}_{bidx}.csv.gz"
+    path = Path(out_dir) / f"{name}_{tag}{bidx}.csv.gz"
     rows.to_csv(path, index=False, compression="gzip")
     return path
 
@@ -76,8 +79,9 @@ def save_fingerprints(
     out_dir: str | Path,
     bidx: int,
     dwell_times: np.ndarray | None = None,
+    tag: str = "",
 ) -> Path:
-    path = Path(out_dir) / f"barcode_fpts_{bidx}.npz"
+    path = Path(out_dir) / f"barcode_fpts_{tag}{bidx}.npz"
     arrays = dict(
         num_reads=len(read_ids),
         read_ids=np.asarray(read_ids),

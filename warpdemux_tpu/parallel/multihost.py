@@ -31,15 +31,25 @@ def init_distributed(
     process_id: int | None = None,
 ) -> tuple[int, int]:
     """Initialize the JAX distributed runtime (no-op when single-host or
-    already initialized). Returns (process_index, process_count)."""
-    if jax.process_count() > 1 or coordinator_address is None:
+    already initialized). Returns (process_index, process_count).
+
+    coordinator_address="env" initializes from the standard TPU pod
+    environment (jax.distributed.initialize autodetect); None is an
+    explicit single-host no-op.
+    """
+    # NOTE: do not touch jax.process_count() before initialize() — querying
+    # it initializes the backends, after which distributed init is a no-op.
+    if jax.distributed.is_initialized() or coordinator_address is None:
         return jax.process_index(), jax.process_count()
     try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        if coordinator_address == "env":
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     except RuntimeError:
         pass  # already initialized
     return jax.process_index(), jax.process_count()

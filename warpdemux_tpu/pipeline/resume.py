@@ -47,11 +47,11 @@ def scan_processed_reads(run_dir: str, result_type: str = "predictions"):
 
     bidx_pass = (
         max(
-            _max_bidx(bound_files, r"detected_boundaries_(\d+)\.csv\.gz"),
-            _max_bidx(fpt_files, r"barcode_fpts_(\d+)\.npz"),
+            _max_bidx(bound_files, r"detected_boundaries_(?:h\d+_)?(\d+)\.csv\.gz"),
+            _max_bidx(fpt_files, r"barcode_fpts_(?:h\d+_)?(\d+)\.npz"),
         )
         + 1
     )
-    bidx_fail = _max_bidx(fail_files, r"failed_reads_(\d+)\.csv\.gz") + 1
-    bidx_predict = _max_bidx(pred_files, r"barcode_predictions_(\d+)\.csv\.gz") + 1
+    bidx_fail = _max_bidx(fail_files, r"failed_reads_(?:h\d+_)?(\d+)\.csv\.gz") + 1
+    bidx_predict = _max_bidx(pred_files, r"barcode_predictions_(?:h\d+_)?(\d+)\.csv\.gz") + 1
     return processed, bidx_pass, bidx_fail, bidx_predict

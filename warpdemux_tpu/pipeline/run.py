@@ -67,6 +67,9 @@ class RunStats:
     failed: int = 0
     predicted: int = 0
     elapsed_s: float = 0.0
+    # per-class prediction counts aligned with the model's label_map
+    # (noise/-1 last); None for prep-only runs
+    class_counts: np.ndarray | None = None
 
 
 class _Progress:
@@ -252,20 +255,25 @@ def run_demux(config: Config, model=None) -> RunStats:
     threading.Thread(target=producer, daemon=True).start()
 
     out = config.output
+    tag = out.shard_tag
     pred_acc = _ShardAccumulator(
-        lambda df, b: writers.save_predictions(df, out.output_dir_pred, b),
+        lambda df, b: writers.save_predictions(
+            df, out.output_dir_pred, b, tag=tag
+        ),
         config.batch.batch_size_output,
         config.batch.bidx_predict,
     )
     fail_acc = _ShardAccumulator(
         lambda df, b: writers.save_boundaries(
-            df, out.output_dir_fail, b, failed=True
+            df, out.output_dir_fail, b, failed=True, tag=tag
         ),
         config.batch.batch_size_output,
         config.batch.bidx_fail,
     )
     bound_acc = _ShardAccumulator(
-        lambda df, b: writers.save_boundaries(df, out.output_dir_boundaries, b),
+        lambda df, b: writers.save_boundaries(
+            df, out.output_dir_boundaries, b, tag=tag
+        ),
         config.batch.batch_size_output,
         config.batch.bidx_pass,
     )
@@ -298,6 +306,7 @@ def run_demux(config: Config, model=None) -> RunStats:
                 out.output_dir_fpts,
                 fpt_bidx,
                 dwell_times=dw if config.output.save_dwell_time else None,
+                tag=config.output.shard_tag,
             )
             fpt_bidx += 1
             fpt_rows = rest
@@ -306,6 +315,17 @@ def run_demux(config: Config, model=None) -> RunStats:
                 break
 
     stats = RunStats()
+    label_vals = None
+    if do_predict and model is not None:
+        label_vals = np.asarray(model.label_map)
+        stats.class_counts = np.zeros(len(label_vals), np.int64)
+
+    def acc_classes(pred):
+        if label_vals is not None:
+            stats.class_counts += (
+                pred[:, None] == label_vals[None, :]
+            ).sum(axis=0)
+
     progress = _Progress(
         stats,
         total_fn=lambda: __import__(
@@ -343,6 +363,7 @@ def run_demux(config: Config, model=None) -> RunStats:
             )
             pred_acc.add(df)
             stats.predicted += len(df)
+            acc_classes(pred)
         progress.update()
 
     def postprocess(res, n, full_lens, read_ids, in_lens):
@@ -405,6 +426,7 @@ def run_demux(config: Config, model=None) -> RunStats:
             )
             pred_acc.add(df)
             stats.predicted += len(df)
+            acc_classes(pred)
         progress.update()
 
     # The main loop only dispatches device steps; a postprocessing thread
@@ -478,6 +500,36 @@ def run_demux(config: Config, model=None) -> RunStats:
         stats.elapsed_s,
         stats.total / max(stats.elapsed_s, 1e-9),
     )
+    if stats.class_counts is not None:
+        logging.info(
+            "class counts (%s): %s",
+            "/".join(str(v) for v in label_vals),
+            "/".join(str(int(c)) for c in stats.class_counts),
+        )
+    if jax.process_count() > 1:
+        # pod-slice runs: all-reduce the per-host counters into one global
+        # end-of-run summary (the reference's Manager-shared ridx counters,
+        # file_proc.py:1055-1071, as a psum over hosts)
+        from warpdemux_tpu.parallel.multihost import global_class_counts
+
+        vec = np.array(
+            [stats.total, stats.passed, stats.failed, stats.predicted],
+            np.int32,
+        )
+        if stats.class_counts is not None:
+            vec = np.concatenate([vec, stats.class_counts.astype(np.int32)])
+        g = global_class_counts(vec)
+        logging.info(
+            "GLOBAL (%d hosts): %d reads (%d pass / %d fail / %d predicted)"
+            "%s",
+            jax.process_count(), g[0], g[1], g[2], g[3],
+            (
+                " class counts "
+                + "/".join(str(int(c)) for c in g[4:])
+                if len(g) > 4
+                else ""
+            ),
+        )
     return stats
 
 
