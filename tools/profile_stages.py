@@ -189,11 +189,15 @@ K = svm_ops.pdist_kernel(D, model.gamma, model.pwr_dist)
 K = jax.device_put(np.asarray(K))
 dec = jax.jit(lambda K: svm_ops.decision_values(K, params))
 dv = timeit("  svm decision_values", dec, K)
-k = params.n_classes if hasattr(params, "n_classes") else len(params.probA) and None
-nc = int(np.asarray(params.probA).shape[0])  # n pairs
-import math
-kk = int((1 + math.isqrt(1 + 8 * nc)) // 2)
-r = svm_ops.sigmoid_predict(dv, params.probA, params.probB)
+kk = params.n_classes
+rp = svm_ops.sigmoid_predict(dv, params.probA, params.probB)
+rp = jnp.clip(rp, 1e-7, 1.0 - 1e-7)
+pairs = svm_ops.pair_index(kk)
+iidx = jnp.array([i for i, _ in pairs])
+jidx = jnp.array([j for _, j in pairs])
+r = jnp.zeros((B, kk, kk), rp.dtype)
+r = r.at[:, iidx, jidx].set(rp)
+r = r.at[:, jidx, iidx].set(1.0 - rp)
 r = jax.device_put(np.asarray(r))
 coup = jax.jit(lambda r: svm_ops.multiclass_probability(r, kk))
 timeit("  svm wu-lin coupling", coup, r)

@@ -30,12 +30,24 @@ STRATEGIES = {"none", "reject_all", "adapter_count"} | WATCHER_STRATEGIES
 
 @dataclass
 class BalancerConfig:
+    """One [[balancers]] entry (reference config_parser.py:225-363).
+
+    reject_duration=None means "use the session-global [balancing]
+    reject_duration" (reference worker.py:196-200). channels, when
+    non-empty, is an explicit channel list that bypasses the
+    channel_frac/channel_num split."""
+
     balance_type: str = "none"
+    name: str = ""
     balance_threshold: float = 0.4
     min_stat: float = 10.0
-    reject_duration: float = 0.1
+    reject_duration: float | None = None
+    watch_for_missing: bool = True
     wait_to_see: float = 60.0
+    channel_frac: float | None = None
+    channel_num: int | None = None
     channels: tuple = ()
+    pred_conf_threshold: float | None = None
     barcodes_blacklist: tuple = ()
     barcodes_ignorelist: tuple = ()
     max_stats: dict = field(default_factory=dict)
@@ -101,6 +113,10 @@ class BarcodeBalancer:
             return not (stat - mean > cfg.balance_threshold * mean)
 
     def _update_watchdog(self):
+        # missing-barcode watchdog (reference balancer.py:535-549), gated by
+        # watch_for_missing (config_parser.py watch_for_missing key)
+        if not self.config.watch_for_missing:
+            return
         if time.time() - self.t_start > self.config.wait_to_see:
             self.valid = self.valid & self.seen
 
@@ -161,24 +177,82 @@ class BarcodeBalancers:
         cls,
         num_bcs: int,
         configs: list[BalancerConfig],
-        channel_fracs: list[float],
+        channel_fracs: list[float] | None = None,
         n_channels: int = 512,
         seed: int = 0,
+        min_channel: int = 1,
+        max_channel: int | None = None,
     ):
+        """Assign channels to balancers (reference config_parser.py:445-506).
+
+        Per balancer, an explicit `channels` list wins; else `channel_num`;
+        else `channel_frac` of the flowcell (the legacy positional
+        channel_fracs list overrides cfg.channel_frac when given). Channels
+        are drawn from a seeded random permutation of
+        [min_channel, max_channel]. Leftover channels join the first 'none'
+        balancer, or a new 'unused_channels' none balancer is appended
+        (reference MainConfig._create_balancers). Duplicate balancer names
+        raise.
+        """
+        if max_channel is None:
+            max_channel = n_channels
         rng = np.random.default_rng(seed)
-        channels = rng.permutation(np.arange(1, n_channels + 1))
-        balancers, channel_map, idx0 = [], {}, 0
-        for i, (cfg, frac) in enumerate(zip(configs, channel_fracs)):
-            n = int(round(frac * n_channels))
-            chans = channels[idx0 : idx0 + n]
-            idx0 += n
-            b = BarcodeBalancer(num_bcs, cfg, name=f"balancer{i}")
+        all_channels = np.arange(min_channel, max_channel + 1)
+        n_all = all_channels.size
+        pool = list(rng.permutation(all_channels))
+        explicit = {int(c) for cfg in configs for c in cfg.channels}
+        pool = [c for c in pool if int(c) not in explicit]
+
+        balancers, channel_map = [], {}
+        for i, cfg in enumerate(configs):
+            if cfg.channels:
+                chans = [int(c) for c in cfg.channels]
+            else:
+                if channel_fracs is not None:
+                    frac = channel_fracs[i]
+                    n = int(frac * n_all)
+                elif cfg.channel_num is not None:
+                    n = int(cfg.channel_num)
+                else:
+                    n = int((cfg.channel_frac
+                             if cfg.channel_frac is not None else 1.0) * n_all)
+                if n > len(pool):
+                    raise ValueError(
+                        f"balancer {i}: wants {n} channels but only "
+                        f"{len(pool)} are available; specify channel_frac "
+                        "for each balancer"
+                    )
+                chans = sorted(int(c) for c in pool[:n])
+                del pool[:n]
+            b = BarcodeBalancer(num_bcs, cfg, name=cfg.name or f"balancer{i}")
             balancers.append(b)
             for c in chans:
-                channel_map[int(c)] = i
-        # leftover channels go to the last balancer
-        for c in channels[idx0:]:
-            channel_map[int(c)] = len(balancers) - 1
+                channel_map[c] = i
+
+        names = [b.name for b in balancers]
+        if len(names) != len(set(names)):
+            raise ValueError(
+                f"duplicate balancer names in config: {names}; give each "
+                "balancer of the same balance_type a unique name"
+            )
+
+        if pool:
+            none_idx = next(
+                (i for i, b in enumerate(balancers)
+                 if b.config.balance_type == "none"),
+                None,
+            )
+            if none_idx is None:
+                balancers.append(
+                    BarcodeBalancer(
+                        num_bcs,
+                        BalancerConfig(balance_type="none"),
+                        name="unused_channels",
+                    )
+                )
+                none_idx = len(balancers) - 1
+            for c in pool:
+                channel_map[int(c)] = none_idx
         return cls(balancers, channel_map)
 
     def for_channel(self, channel: int) -> BarcodeBalancer | None:

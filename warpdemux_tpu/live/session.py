@@ -55,7 +55,12 @@ class ReadObject:
 
 class ChannelRepeatedUnblockDuration:
     """Escalating unblock durations for repeat offenders
-    (reference session.py:61-124)."""
+    (reference session.py:61-124).
+
+    Level 0 uses `base` when given — the per-balancer reject_duration
+    (reference worker.py:196-200, where the balance-decision unblock takes
+    the balancer's duration); repeats within the window escalate to the
+    session-wide durations[1], durations[2]."""
 
     def __init__(self, durations=(0.1, 0.5, 2.0), window_s: float = 1.5):
         self.durations = durations
@@ -63,29 +68,48 @@ class ChannelRepeatedUnblockDuration:
         self._last: dict[int, tuple[float, int]] = {}
         self._lock = threading.Lock()
 
-    def duration(self, channel: int) -> float:
+    def duration(self, channel: int, base: float | None = None) -> float:
         now = time.time()
         with self._lock:
             t_last, level = self._last.get(channel, (0.0, -1))
             level = level + 1 if now - t_last < self.window_s else 0
             level = min(level, len(self.durations) - 1)
             self._last[channel] = (now, level)
+            if level == 0 and base is not None:
+                return base
             return self.durations[level]
 
 
 @dataclass
 class SessionConfig:
     model_name: str = "WDX4_rna004_v1_0"
+    # [acquisition] (reference config_parser.py AcquisitionConfig)
     min_chunk_size: int = 1000
     max_chunk_size: int = 12000
     max_missed_start_offset: int = 400
+    # parsed for schema parity; the reference parses it (default
+    # min_chunk_size) but no code path consumes it (config_parser.py:140-142)
+    min_adapter_length: int = 0
+    repeated_unblock_time_window: float = 1.5
+    repeated_unblock_duration_2: float = 0.5
+    repeated_unblock_duration_3: float = 2.0
+    # [balancing]
     max_signal_after_polya: int = 4000
     pred_conf_threshold: float = 0.2
+    reject_duration: float = 0.1  # global; per-balancer overrides win
+    # [processing] — the reference sizes its segmentation/classification
+    # thread pools with these (session.py:163-166); here they size the
+    # micro-batch classifier lane: nproc_classification bounds the number
+    # of concurrent device dispatches worth of micro-batching
+    nproc_segmentation: int = 2
+    nproc_classification: int = 4
+    # [reporting]
+    save_every_sec: float = 10.0
+    save_path: str = "results"
+    run_id: str = ""
     check_real_range: bool = True
     max_batch: int = 32
     batch_wait_s: float = 0.005
-    save_path: str = "results"
-    run_id: str = ""
     streaming: StreamingConfig = field(default_factory=StreamingConfig)
     real_range: RealRangeConfig = field(default_factory=RealRangeConfig)
 
@@ -110,7 +134,14 @@ class Session:
         self.spc = spc
         run_id = config.run_id or uuid.uuid4().hex[:8]
         self.reporter = LiveReporter(config.save_path, run_id, model.n_classes)
-        self.crud = ChannelRepeatedUnblockDuration()
+        self.crud = ChannelRepeatedUnblockDuration(
+            durations=(
+                config.reject_duration,
+                config.repeated_unblock_duration_2,
+                config.repeated_unblock_duration_3,
+            ),
+            window_s=config.repeated_unblock_time_window,
+        )
         self.fpt_queue: queue.Queue = queue.Queue()
         # missed_obs is tracked as a bounded running aggregate (count, sum,
         # last) rather than a per-chunk list: one float per chunk would grow
@@ -251,8 +282,14 @@ class Session:
         if accepted:
             self.client.stop_receiving_read(ro.channel, ro.read_number)
         else:
+            # per-balancer reject_duration wins over the global one
+            # (reference worker.py:196-205); CRUD escalation applies to
+            # repeat offenders on top of that base
+            base = cfg.reject_duration
+            if balancer is not None and balancer.config.reject_duration is not None:
+                base = balancer.config.reject_duration
             self.client.unblock_read(
-                ro.channel, ro.read_number, self.crud.duration(ro.channel)
+                ro.channel, ro.read_number, self.crud.duration(ro.channel, base)
             )
         ro.time_per_step["total"] = time.time() - ro.t_created
         self.reporter.report_read(
@@ -283,9 +320,11 @@ class Session:
         )
 
     # ---- main loop -------------------------------------------------------
-    def run(self, batch_size: int = 64, save_every_sec: float = 10.0,
+    def run(self, batch_size: int = 64, save_every_sec: float | None = None,
             warmup: bool = True):
         cfg = self.config
+        if save_every_sec is None:
+            save_every_sec = cfg.save_every_sec
         if warmup:
             t0 = time.time()
             self.warmup()
