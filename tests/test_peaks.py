@@ -125,3 +125,31 @@ def test_random_stress_vs_scipy():
         for b in range(B):
             want, _ = find_peaks(x[b, : n[b]], distance=int(d[b]))
             np.testing.assert_array_equal(pos[b], want)
+
+
+def test_select_top_peaks_two_stage_matches_single_stage():
+    """The segmented two-stage top-k must reproduce the single-stage
+    selection exactly, including tie order (later position first), on rows
+    long enough to trigger the segmented path."""
+    import jax
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.peaks import select_top_peaks
+
+    rng = np.random.default_rng(7)
+    B, L, k = 16, 6200, 110
+    # quantized scores force plenty of exact ties across segments
+    scores = np.round(rng.gamma(2.0, 2.0, (B, L)) * 4) / 4
+    keep = rng.random((B, L)) < 0.15
+    counts = keep.sum(axis=1).astype(np.int32)
+    assert (counts >= k).all()
+
+    sel, ok = select_top_peaks(
+        jnp.asarray(scores, jnp.float32), jnp.asarray(keep), jnp.asarray(counts), k
+    )
+    assert bool(ok.all())
+
+    # single-stage reference: top_k on the reversed masked row
+    mrev = jnp.where(jnp.asarray(keep), jnp.asarray(scores, jnp.float32), -jnp.inf)[:, ::-1]
+    _, idx = jax.lax.top_k(mrev, k)
+    want = (L - 1) - np.asarray(idx, np.int32)
+    np.testing.assert_array_equal(np.asarray(sel), want)

@@ -72,10 +72,14 @@ def detections(real_batch):
 
 def test_real_pass_rates_pinned(detections):
     # measured on 2026-08-19 with rna004_cnn_real_v2 weights; any change
-    # to detect/fingerprint numerics must be deliberate
-    assert int(np.asarray(detections["llr"].success).sum()) == 99
+    # to detect/fingerprint numerics must be deliberate. (Down 1 read from
+    # the round-2 pins: the [mvs_polya] pA_mean_adapter_med_scale_range
+    # ratio is now validated on the exact detected region, reference
+    # contract rna004_130bps@v1.0.toml:29-33, and one marginal-polyA read
+    # correctly moves to 'mvs polya check failed'.)
+    assert int(np.asarray(detections["llr"].success).sum()) == 98
     assert int(np.asarray(detections["cnn"].success).sum()) == 86
-    assert int(np.asarray(detections["prod"].success).sum()) == 101
+    assert int(np.asarray(detections["prod"].success).sum()) == 100
 
 
 def test_real_boundary_agreement(detections):
@@ -132,8 +136,42 @@ def test_real_barcode_call_agreement(real_batch, detections):
     assert hard == 0
     assert (pl[both] == pp[both]).mean() >= 0.93
     # pinned real-fixture prediction distribution (llr path, fixture 0;
-    # measured 2026-08-19) — catches silent classifier drift, not just
-    # wiring breakage
+    # measured 2026-08-19, incl. the exact-region mvs ratio validation) —
+    # catches silent classifier drift, not just wiring breakage
     dist = {int(k): int(v) for k, v in zip(*np.unique(pl[pl >= -1],
                                                       return_counts=True))}
-    assert dist == {-1: 30, 3: 30, 4: 15, 5: 17, 7: 7}, dist
+    assert dist == {-1: 30, 3: 30, 4: 14, 5: 17, 7: 7}, dist
+
+
+def test_long_adapter_recovery_via_max_obs_adapter(real_batch):
+    """The dominant fail bucket is 'adapter too long': reads whose first
+    contract-validating polyA window sits past the reference's
+    max_obs_adapter=6000 bound (their head region is genuine adapter
+    signal — tools/validate_boundaries.py holds the 800-read evidence).
+    Raising the bound via the existing --export surface recovers them with
+    contract-validated polyAs; pin that recovery on fixture 0."""
+    import jax.numpy as jnp
+
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.detect.boundaries import detect_boundaries_batch
+
+    sigs, in_lens = real_batch
+    spc = get_model_spc_config("WDX4_rna004_v1_0")
+    base = replace(spc.detect, method="llr", fallback_to_llr=False)
+    wide = replace(base, max_obs_adapter=9000)
+    det_b = detect_boundaries_batch(jnp.asarray(sigs), jnp.asarray(in_lens), base, None)
+    det_w = detect_boundaries_batch(jnp.asarray(sigs), jnp.asarray(in_lens), wide, None)
+    n_base = int(np.asarray(det_b.success).sum())
+    n_wide = int(np.asarray(det_w.success).sum())
+    # measured 2026-08-19: 98 -> >=140 of 200 (800-read set: 364 -> 573)
+    assert n_base == 98
+    assert n_wide >= 140, n_wide
+    # recovery must not disturb reads that already passed: identical
+    # boundaries on the base-pass set
+    ok = np.asarray(det_b.success)
+    np.testing.assert_array_equal(
+        np.asarray(det_b.polya_start)[ok], np.asarray(det_w.polya_start)[ok]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_b.adapter_end)[ok], np.asarray(det_w.adapter_end)[ok]
+    )

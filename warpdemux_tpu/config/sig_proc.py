@@ -92,6 +92,24 @@ class SigProcConfig:
             median_shift_min=float(
                 rng(mvs.get("median_shift_range"), (5.0, float("inf")))[0]
             ),
+            # search thresholds default to the validation values; the
+            # shipped chemistry TOMLs loosen them ([mvs_polya]
+            # search_scale / search_var_range) so detection isn't starved
+            # by rolling-window dilution at the region edges
+            search_scale=float(
+                mvs.get(
+                    "search_scale",
+                    scale_rng[0]
+                    if scale_rng
+                    else sp.get("adapter_med_polya_mean_scale", 1.3),
+                )
+            ),
+            search_var_max=float(
+                rng(
+                    mvs.get("search_var_range"),
+                    rng(mvs.get("pA_var_range"), (float("-inf"), 30.0)),
+                )[1]
+            ),
             mvs_detect_check=bool(mvs.get("mvs_detect_check", True)),
             real_signal_check=bool(rr.get("real_signal_check", False)),
             local_range=rng(rr.get("local_range"), (7.0, 35.0)),

@@ -210,11 +210,36 @@ def select_top_peaks(
     prefer the later peak (top_k on the reversed row). Returns
     (sel_pos (B, num_events) int32 positions, ok (B,) = count >= num_events).
     Rows with ok=False contain garbage and must be masked by the caller.
+
+    Long rows use a two-stage segmented top-k: the global top-k is a subset
+    of the union of per-segment top-ks, and sorting nseg segments of L/nseg
+    plus one candidate row of nseg*k is substantially cheaper than one
+    length-L sort (top_k lowers to a full row sort on TPU; this was the #2
+    op of the whole demux step at L~6k). Tie order is preserved: the row is
+    reversed *before* segmenting, so lower candidate index == later global
+    position at every stage, and top_k breaks value ties by lowest index.
     """
     B, L = scores.shape
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     mrev = jnp.where(keep_mask, scores, neg_inf)[:, ::-1]
-    _, idx = jax.lax.top_k(mrev, num_events)
-    sel_pos = (L - 1) - idx.astype(jnp.int32)
     ok = peak_count >= num_events
+
+    nseg = 8
+    seg = -(-L // nseg)
+    if L < nseg * max(num_events, 128) or seg < num_events:
+        _, idx = jax.lax.top_k(mrev, num_events)
+        sel_pos = (L - 1) - idx.astype(jnp.int32)
+        return sel_pos, ok
+
+    pad = nseg * seg - L
+    mrev_p = jnp.pad(mrev, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    segs = mrev_p.reshape(B * nseg, seg)
+    v1, i1 = jax.lax.top_k(segs, num_events)  # (B*nseg, k)
+    base = (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :, None]
+    gidx = i1.reshape(B, nseg, num_events).astype(jnp.int32) + base
+    cand_v = v1.reshape(B, nseg * num_events)
+    cand_i = gidx.reshape(B, nseg * num_events)
+    _, i2 = jax.lax.top_k(cand_v, num_events)  # (B, k) into candidates
+    rev_idx = jnp.take_along_axis(cand_i, i2, axis=1)
+    sel_pos = (L - 1) - rev_idx
     return sel_pos, ok

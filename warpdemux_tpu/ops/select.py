@@ -144,10 +144,34 @@ def grouped_median_mad(
     On TPU backends this dispatches to the Pallas VMEM kernel when the
     regions are expressible as [start, end) ranges — see select_pallas.
     """
+    return grouped_median_mad_given(x, masks, with_mad)
+
+
+def grouped_median_mad_given(
+    x: jnp.ndarray,
+    masks: jnp.ndarray,
+    with_mad: bool = True,
+    given_meds: jnp.ndarray | None = None,
+    given: tuple = (),
+):
+    """grouped_median_mad with optional precomputed medians per region.
+
+    given[r]=True regions pass given_meds[r] through (no median search) and
+    MAD-bisect |x - given_meds[r]| — the XLA-path mirror of the Pallas
+    kernel's `given` mode.
+    """
     key = order_keys(x)[None]  # (1, B, L)
     key = jnp.where(masks, key, jnp.int32(_I32_MAX))
     n = jnp.sum(masks, axis=-1).astype(jnp.int32)  # (R, B)
-    meds = median_from_keys(key, masks, n)
+    if given_meds is not None and any(given):
+        if all(given):
+            meds = given_meds.astype(jnp.float32)
+        else:
+            searched = median_from_keys(key, masks, n)
+            g = jnp.asarray(given, bool)[:, None]
+            meds = jnp.where(g, given_meds.astype(jnp.float32), searched)
+    else:
+        meds = median_from_keys(key, masks, n)
     if not with_mad:
         return meds, None
     y = jnp.abs(x[None] - meds[..., None])
@@ -162,6 +186,8 @@ def range_median_mad(
     ends: jnp.ndarray,
     with_mad: bool = True,
     pallas_ok: bool = True,
+    given_meds: jnp.ndarray | None = None,
+    given: tuple = (),
 ):
     """grouped_median_mad for contiguous [start, end) regions.
 
@@ -172,24 +198,39 @@ def range_median_mad(
         remote TPU compiler stalls on Pallas calls combined with big XLA
         graphs (while_loops + top_k), and the XLA bisection is already
         sort-free.
+      given_meds/given: optional (R, B) precomputed medians + per-region
+        static flags; flagged regions skip the median search and only the
+        MAD is bisected (the given median passes through to the output).
     Returns:
       (meds (R, B), mads (R, B) or None).
     """
     B, L = x.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+
+    def _apply_given(meds):
+        if given_meds is None or not any(given):
+            return meds
+        g = jnp.asarray(given, bool)[:, None]
+        return jnp.where(g, given_meds.astype(meds.dtype), meds)
+
     if x.dtype != jnp.float32:
         # float64 parity mode: keep full precision with a sorted median
         masks = (pos >= starts[..., None]) & (pos < ends[..., None])
-        meds = _sorted_median(x[None], masks)
+        meds = _apply_given(_sorted_median(x[None], masks))
         if not with_mad:
             return meds, None
         return meds, _sorted_median(jnp.abs(x[None] - meds[..., None]), masks)
     if pallas_ok and jax.default_backend() == "tpu":
         from warpdemux_tpu.ops.select_pallas import range_median_mad_pallas
 
-        return range_median_mad_pallas(x, starts, ends, with_mad)
+        return range_median_mad_pallas(
+            x, starts, ends, with_mad, given_meds=given_meds, given=given
+        )
     masks = (pos >= starts[..., None]) & (pos < ends[..., None])
-    return grouped_median_mad(x, masks, with_mad)
+    meds, mads = grouped_median_mad_given(
+        x, masks, with_mad, given_meds=given_meds, given=given
+    )
+    return meds, mads
 
 
 def _sorted_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -89,7 +89,12 @@ def _median(key, mask, n):
     return jnp.where(n > 0, med, jnp.float32(jnp.nan))
 
 
-def _kernel(R, with_mad, x_ref, se_ref, med_ref, mad_ref):
+def _kernel(R, with_mad, given, x_ref, se_ref, *refs):
+    # refs = (gm_ref,) med_ref, mad_ref — gm_ref present iff any(given)
+    if any(given):
+        gm_ref, med_ref, mad_ref = refs
+    else:
+        gm_ref, (med_ref, mad_ref) = None, refs
     x = x_ref[...]  # (bt, L) f32
     bt, L = x.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (bt, L), 1)
@@ -99,7 +104,12 @@ def _kernel(R, with_mad, x_ref, se_ref, med_ref, mad_ref):
         e = se_ref[:, R + r : R + r + 1]
         mask = (pos >= s) & (pos < e)
         n = jnp.sum(jnp.where(mask, jnp.int32(1), 0), axis=1, keepdims=True)
-        med = _median(key, mask, n)
+        if given[r]:
+            # median already known (e.g. row-selected from an earlier
+            # gate-only pass): skip its bisection, search only the MAD
+            med = gm_ref[:, r : r + 1]
+        else:
+            med = _median(key, mask, n)
         med_ref[:, r : r + 1] = med
         if with_mad:
             y = jnp.abs(x - med)
@@ -108,7 +118,7 @@ def _kernel(R, with_mad, x_ref, se_ref, med_ref, mad_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_mad", "b_tile", "interpret")
+    jax.jit, static_argnames=("with_mad", "b_tile", "interpret", "given")
 )
 def range_median_mad_pallas(
     x: jnp.ndarray,
@@ -117,22 +127,32 @@ def range_median_mad_pallas(
     with_mad: bool = True,
     b_tile: int = 8,
     interpret: bool = False,
+    given_meds: jnp.ndarray | None = None,
+    given: tuple = (),
 ):
     """Exact median (+ MAD) over R contiguous ranges per row.
 
     Args:
       x: (B, L) float32.
       starts, ends: (R, B) int32, clamped to [0, L].
+      given_meds: optional (R, B) f32 precomputed medians; given[r]=True
+        regions reuse given_meds[r] (passed through to the output) and only
+        search the MAD — half the bisection work for regions whose median an
+        earlier pass already computed.
     Returns:
       (meds (R, B) f32, mads (R, B) f32 or None).
     """
     B, L = x.shape
     R = starts.shape[0]
+    if not given:
+        given = (False,) * R
     Bp = -(-B // b_tile) * b_tile
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
         starts = jnp.pad(starts, ((0, 0), (0, Bp - B)))
         ends = jnp.pad(ends, ((0, 0), (0, Bp - B)))
+        if given_meds is not None:
+            given_meds = jnp.pad(given_meds, ((0, 0), (0, Bp - B)))
     se = jnp.concatenate(
         [
             jnp.clip(starts, 0, L).astype(jnp.int32).T,
@@ -141,30 +161,39 @@ def range_median_mad_pallas(
         axis=1,
     )  # (Bp, 2R)
 
-    kernel = functools.partial(_kernel, R, with_mad)
+    kernel = functools.partial(_kernel, R, with_mad, given)
     grid = (Bp // b_tile,)
     out_shapes = (
         jax.ShapeDtypeStruct((Bp, R), jnp.float32),
         jax.ShapeDtypeStruct((Bp, R), jnp.float32),
     )
+    n_med = sum(0 if g else 1 for g in given) + (R if with_mad else 0)
+    in_specs = [
+        pl.BlockSpec((b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_tile, 2 * R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x.astype(jnp.float32), se]
+    if any(given):
+        in_specs.append(
+            pl.BlockSpec((b_tile, R), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        gm = given_meds if given_meds is not None else jnp.zeros((R, Bp))
+        operands.append(gm.astype(jnp.float32).T)
     meds, mads = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, 2 * R), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((b_tile, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=Bp * L * R * (70 if with_mad else 35),
+            flops=Bp * L * n_med * 35,
             bytes_accessed=Bp * L * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x.astype(jnp.float32), se)
+    )(*operands)
     meds = meds.T[:, :B]
     return (meds, mads.T[:, :B]) if with_mad else (meds, None)
