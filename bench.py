@@ -112,27 +112,34 @@ def main():
                 feed.put(tuple(jax.device_put(a) for a in batch))
             feed.put(None)
 
+        # fetches run on their own thread (as in pipeline/run.py): an
+        # inline device_get costs a tunnel round trip per minibatch that
+        # would bubble the dispatch loop even with results in flight
+        results: queue.Queue = queue.Queue(maxsize=depth)
+        n_pass_box = [0]
+
+        def fetcher():
+            while True:
+                r = results.get()
+                if r is None:
+                    return
+                _pred, _conf, success = jax.device_get(
+                    (r.pred, r.conf, r.success)
+                )
+                n_pass_box[0] += int(success.sum())
+
         t0 = time.time()
         threading.Thread(target=producer, daemon=True).start()
-        n_pass = 0
-        inflight: list = []  # keep `depth` minibatches in flight so the
-        # device never idles during the device->host fetch round trip
+        fth = threading.Thread(target=fetcher)
+        fth.start()
         while True:
             item = feed.get()
             if item is None:
                 break
-            res = step(*item)
-            inflight.append(res)
-            if len(inflight) >= depth:
-                r = inflight.pop(0)
-                pred, conf, success = jax.device_get(
-                    (r.pred, r.conf, r.success)
-                )
-                n_pass += int(success.sum())
-        for r in inflight:
-            pred, conf, success = jax.device_get((r.pred, r.conf, r.success))
-            n_pass += int(success.sum())
-        return time.time() - t0, n_pass
+            results.put(step(*item))
+        results.put(None)
+        fth.join()
+        return time.time() - t0, n_pass_box[0]
 
     dt1, n_pass = timed_pass()
     dt2, _ = timed_pass()
@@ -242,21 +249,29 @@ def main():
                     )
                 feed.put(None)
 
+            results: queue.Queue = queue.Queue(maxsize=3)
+
+            def fetcher():
+                while True:
+                    r = results.get()
+                    if r is None:
+                        return
+                    jax.device_get((r.pred, r.conf, r.success))
+
             t0 = time.time()
             threading.Thread(target=producer, daemon=True).start()
-            inflight, total = [], 0
+            fth = threading.Thread(target=fetcher)
+            fth.start()
+            total = 0
             while True:
                 item = feed.get()
                 if item is None:
                     break
                 dev, n = item
                 total += n
-                inflight.append(step(*dev))
-                if len(inflight) >= 3:
-                    r = inflight.pop(0)
-                    jax.device_get((r.pred, r.conf, r.success))
-            for r in inflight:
-                jax.device_get((r.pred, r.conf, r.success))
+                results.put(step(*dev))
+            results.put(None)
+            fth.join()
             return total / (time.time() - t0)
 
         pod5_pass()  # warm any new decode-width variants

@@ -157,10 +157,17 @@ class Session:
             no_polya_yet=0,
         )
         self._stop = threading.Event()
-        self._idle = threading.Event()
-        self._classifier_thread = threading.Thread(
-            target=self._classify_loop, name="classifier"
-        )
+        self._busy = 0  # classifier threads currently processing a batch
+        self._busy_lock = threading.Lock()
+        # [processing] nproc_classification sizes the classifier-thread
+        # pool (the reference sizes its classification ThreadPoolExecutor
+        # with it, session.py:163-166); every jax dispatch inside is
+        # thread-safe, balancers/reporter/crud carry their own locks
+        n_cls = max(1, int(getattr(config, "nproc_classification", 1)))
+        self._classifier_threads = [
+            threading.Thread(target=self._classify_loop, name=f"classifier{i}")
+            for i in range(n_cls)
+        ]
 
     # ---- fingerprinting (bucketed micro-batch lane) ----------------------
     # XLA compiles per input shape; unbucketed per-read calls would compile
@@ -206,11 +213,12 @@ class Session:
         while not self._stop.is_set():
             batch: list[ReadObject] = []
             try:
-                self._idle.set()
-                batch.append(self.fpt_queue.get(timeout=0.05))
-                self._idle.clear()
+                item = self.fpt_queue.get(timeout=0.05)
             except queue.Empty:
                 continue
+            with self._busy_lock:
+                self._busy += 1
+            batch.append(item)
             t_deadline = time.time() + cfg.batch_wait_s
             while len(batch) < cfg.max_batch:
                 remaining = t_deadline - time.time()
@@ -220,7 +228,11 @@ class Session:
                     batch.append(self.fpt_queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._classify_batch(batch)
+            try:
+                self._classify_batch(batch)
+            finally:
+                with self._busy_lock:
+                    self._busy -= 1
 
     def _classify_batch(self, batch: list[ReadObject]):
         cfg = self.config
@@ -330,7 +342,8 @@ class Session:
             self.warmup()
             print(f"live lane warm-up: {time.time() - t0:.1f}s "
                   f"({len(self._LEN_BUCKETS)} buckets)")
-        self._classifier_thread.start()
+        for th in self._classifier_threads:
+            th.start()
         next_report = time.time() + save_every_sec
         try:
             while self.client.is_running:
@@ -414,11 +427,15 @@ class Session:
         # live jax call in a dying thread at interpreter exit segfaults)
         deadline = time.time() + 30.0
         while time.time() < deadline:
-            if self.fpt_queue.empty() and self._idle.is_set():
+            with self._busy_lock:
+                busy = self._busy
+            if self.fpt_queue.empty() and busy == 0:
                 break
             time.sleep(0.05)
         self._stop.set()
-        self._classifier_thread.join()
+        for th in self._classifier_threads:
+            if th.is_alive():
+                th.join()
         self.balancers.stop()
         ss = self.skip_stats
         mean_missed = ss["missed_obs_sum"] / max(ss["missed_obs_n"], 1)
