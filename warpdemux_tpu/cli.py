@@ -15,6 +15,17 @@ import sys
 from pathlib import Path
 
 
+def _str2bool(v) -> bool:
+    """Reference parser.py:38-46 boolean argument convention."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
 def _collect_inputs(paths: list[str], suffix: str) -> list[str]:
     out = []
     for p in paths:
@@ -43,9 +54,15 @@ def _add_common(p):
                    help="file with read ids to include (one per line)")
     p.add_argument("--export", nargs="*", default=[],
                    help="config overrides, e.g. core.max_obs_trace=8000")
-    p.add_argument("--save_dwell_time", action="store_true")
-    p.add_argument("--save_boundaries", action="store_true")
-    p.add_argument("--save_fpts", action="store_true")
+    # reference-compatible boolean flags: both bare (--save_boundaries)
+    # and valued (--save_boundaries true) forms work — the reference's
+    # README commands use the valued form (parser.py str2bool)
+    p.add_argument("--save_dwell_time", type=_str2bool, nargs="?",
+                   const=True, default=False)
+    p.add_argument("--save_boundaries", type=_str2bool, nargs="?",
+                   const=True, default=False)
+    p.add_argument("--save_fpts", type=_str2bool, nargs="?",
+                   const=True, default=False)
     p.add_argument("--create_subdir", action="store_true", default=True)
     p.add_argument("--no-create_subdir", dest="create_subdir", action="store_false")
     p.add_argument("--wire", choices=("vbz", "adc"), default="vbz",
