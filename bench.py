@@ -104,13 +104,23 @@ def main():
     # runs twice and reports the better pass: the host<->device link is a
     # shared resource whose congestion varies across seconds, and the
     # steady-state throughput is the quantity of interest.
-    def timed_pass(depth=3):
+    def timed_pass(depth=3, n_uploaders=2):
         feed: queue.Queue = queue.Queue(maxsize=4)
 
+        # two uploader threads keep the link busy through per-transfer
+        # round-trip gaps (order doesn't matter for throughput accounting)
+        up_q: queue.Queue = queue.Queue()
+        for batch in batches[WARM_BATCHES:]:
+            up_q.put(batch)
+
         def producer():
-            for batch in batches[WARM_BATCHES:]:
+            while True:
+                try:
+                    batch = up_q.get_nowait()
+                except queue.Empty:
+                    feed.put(None)
+                    return
                 feed.put(tuple(jax.device_put(a) for a in batch))
-            feed.put(None)
 
         # fetches run on their own thread (as in pipeline/run.py): an
         # inline device_get costs a tunnel round trip per minibatch that
@@ -129,13 +139,16 @@ def main():
                 n_pass_box[0] += int(success.sum())
 
         t0 = time.time()
-        threading.Thread(target=producer, daemon=True).start()
+        for _ in range(n_uploaders):
+            threading.Thread(target=producer, daemon=True).start()
         fth = threading.Thread(target=fetcher)
         fth.start()
-        while True:
+        ended = 0
+        while ended < n_uploaders:
             item = feed.get()
             if item is None:
-                break
+                ended += 1
+                continue
             results.put(step(*item))
         results.put(None)
         fth.join()
@@ -154,6 +167,10 @@ def main():
         tuple(jax.device_put(a) for a in synth_minibatch(rng, B, L))
         for _ in range(16)
     ]
+    # device_put is async: wait for every resident batch to land before
+    # timing, or the compute measurement contends with its own input
+    # transfers on the shared tunnel
+    jax.block_until_ready(resident)
 
     def measure(step_fn):
         # two fetcher threads: a single device_get stream serializes one
@@ -212,10 +229,11 @@ def main():
     if all(os.path.exists(f) for f in fixtures):
         from warpdemux_tpu.io.pod5 import yield_vbz_batches
 
-        def pod5_pass():
+        def pod5_pass(n_uploaders=2):
+            host_q: queue.Queue = queue.Queue(maxsize=6)
             feed: queue.Queue = queue.Queue(maxsize=4)
 
-            def producer():
+            def decoder():
                 for batch in yield_vbz_batches(
                     fixtures * 4, None, None, batch_size=B, preload_size=L
                 ):
@@ -238,16 +256,18 @@ def main():
                         in_lens = np.concatenate(
                             [in_lens, np.zeros(pad, np.int32)]
                         )
-                    feed.put(
-                        (
-                            tuple(
-                                jax.device_put(a)
-                                for a in (keys, data, offset, scale, in_lens)
-                            ),
-                            n,
-                        )
-                    )
-                feed.put(None)
+                    host_q.put((keys, data, offset, scale, in_lens, n))
+                for _ in range(n_uploaders):
+                    host_q.put(None)
+
+            def uploader():
+                while True:
+                    item = host_q.get()
+                    if item is None:
+                        feed.put(None)
+                        return
+                    *arrays, n = item
+                    feed.put((tuple(jax.device_put(a) for a in arrays), n))
 
             results: queue.Queue = queue.Queue(maxsize=3)
 
@@ -259,14 +279,17 @@ def main():
                     jax.device_get((r.pred, r.conf, r.success))
 
             t0 = time.time()
-            threading.Thread(target=producer, daemon=True).start()
+            threading.Thread(target=decoder, daemon=True).start()
+            for _ in range(n_uploaders):
+                threading.Thread(target=uploader, daemon=True).start()
             fth = threading.Thread(target=fetcher)
             fth.start()
-            total = 0
-            while True:
+            total, ended = 0, 0
+            while ended < n_uploaders:
                 item = feed.get()
                 if item is None:
-                    break
+                    ended += 1
+                    continue
                 dev, n = item
                 total += n
                 results.put(step(*dev))
