@@ -1,0 +1,94 @@
+"""tRNA-path device throughput (WarpDemuX-tRNA capability benchmark).
+
+The reference's tRNA headline is 38 s / 100k reads on 16 cores
+(~2,630 reads/s; README.md:376, BASELINE.md). This measures the full tRNA
+step — start-peak detect, consensus-refined segmentation (psi-relaxed
+subsequence DTW of the 82-event consensus against the segmented adapter),
+re-segmentation, DTW + SVM — on the default backend with device-resident
+inputs, the same protocol as bench.py's compute_only.
+
+Usage: python tools/bench_trna.py [B]
+"""
+
+import queue
+import sys
+import threading
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, ".")
+
+from warpdemux_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from warpdemux_tpu.config.utils import get_model_spc_config
+from warpdemux_tpu.models.registry import load_model
+from warpdemux_tpu.pipeline.step import make_demux_step
+from warpdemux_tpu.utils.synthetic import (
+    synth_trna_barcoded_read,
+    trna_barcode_patterns,
+)
+
+MODEL = "WDX4_tRNA_rna004_v1_0"
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+TRNA_BASELINE = 2630.0
+
+model = load_model(MODEL)
+spc = get_model_spc_config(MODEL)
+L = spc.sig_preload_size
+rng = np.random.default_rng(0)
+
+pats = trna_barcode_patterns(n_barcodes=4, n_events=25)
+sigs = np.zeros((B, L), np.float32)
+lens = np.zeros(B, np.int32)
+for i in range(B):
+    sig, _ = synth_trna_barcoded_read(rng, pats[i % 4])
+    n = min(L, sig.size)
+    sigs[i, :n] = sig[:n]
+    lens[i] = n
+step = make_demux_step(model, spc, input_format="pa")
+
+resident = [
+    (
+        jax.device_put(sigs.astype(np.float32)),
+        jax.device_put(lens.astype(np.int32)),
+    )
+    for _ in range(12)
+]
+jax.block_until_ready(resident)
+
+res = step(*resident[0])
+jax.device_get((res.pred, res.conf, res.success))
+
+fetchq: queue.Queue = queue.Queue()
+n_pass = [0]
+
+
+def fetcher():
+    while True:
+        r = fetchq.get()
+        if r is None:
+            return
+        _p, _c, s = jax.device_get((r.pred, r.conf, r.success))
+        n_pass[0] += int(s.sum())
+
+
+fetchers = [threading.Thread(target=fetcher) for _ in range(2)]
+t0 = time.time()
+for th in fetchers:
+    th.start()
+for b in resident:
+    fetchq.put(step(*b))
+for _ in fetchers:
+    fetchq.put(None)
+for th in fetchers:
+    th.join()
+rps = len(resident) * B / (time.time() - t0)
+print(
+    f"tRNA compute: {rps:.0f} reads/s "
+    f"(= {rps / TRNA_BASELINE:.1f}x the 16-core reference tRNA baseline) "
+    f"pass={n_pass[0]}/{len(resident) * B} backend={jax.default_backend()} B={B} L={L}"
+)

@@ -653,12 +653,13 @@ def detect_boundaries_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "with_stats"))
 def detect_boundaries_with_fallback(
     signals: jnp.ndarray,
     in_lens: jnp.ndarray,
     cfg: DetectConfig = DetectConfig(),
     cnn_params: dict | None = None,
+    with_stats: bool = True,
 ) -> DetectArrays:
     """Primary detect + per-read LLR fallback (README.md:336-349).
 
@@ -666,9 +667,15 @@ def detect_boundaries_with_fallback(
     the fixed-shape formulation runs the (cheap) LLR detector on the whole
     minibatch alongside the primary and selects it row-wise wherever the
     primary failed — no dynamic re-batching, one compiled program.
+
+    with_stats=False skips the final region-summary statistics entirely
+    (mean/std/median/MAD exist only as output columns; every fail gate
+    already ran inside the candidate passes) — the decision lane uses it.
     """
     if cfg.method == "llr" or not cfg.fallback_to_llr:
-        return detect_boundaries_batch(signals, in_lens, cfg, cnn_params)
+        return detect_boundaries_batch(
+            signals, in_lens, cfg, cnn_params, with_stats=with_stats
+        )
     # Two gate-only candidate passes (no summary statistics), then the full
     # region stats are computed once on the merged boundaries — statistics
     # are a pure function of (signal, start, end), so this equals selecting
@@ -691,6 +698,20 @@ def detect_boundaries_with_fallback(
         return jnp.where(cond, l, p)
 
     merged = DetectArrays(*[sel(p, l) for p, l in zip(primary, llr)])
+    if not with_stats:
+        return merged._replace(
+            used_llr_fallback=use_llr,
+            prim_adapter_start=primary.adapter_start,
+            prim_adapter_end=primary.adapter_end,
+            prim_polya_start=primary.polya_start,
+            prim_polya_end=primary.polya_end,
+            prim_fail=primary.fail_code,
+            llr_adapter_start=llr.adapter_start,
+            llr_adapter_end=llr.adapter_end,
+            llr_polya_start=llr.polya_start,
+            llr_polya_end=llr.polya_end,
+            llr_fail=llr.fail_code,
+        )
     x = signals.astype(jnp.float32)
     B, L = x.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)

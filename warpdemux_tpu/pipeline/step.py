@@ -297,6 +297,12 @@ def make_demux_step(
         )
         seg_extra = spc.seg_extra
 
+    # the decision lane skips the region-summary statistics: mean/std/
+    # median/MAD exist only as boundary/failed output columns, every fail
+    # gate runs inside the candidate passes (detect_boundaries_with_fallback
+    # with_stats=False) — a third of the detect stage's median bisections
+    det_stats = outputs != "decision"
+
     if input_format in ("adc", "vbz"):
 
         def _calibrate_and_detect(adc, offset, scale, in_lens):
@@ -305,7 +311,7 @@ def make_demux_step(
             ]
             return (
                 detect_boundaries_with_fallback(
-                    signals, in_lens, dcfg, cnn_params
+                    signals, in_lens, dcfg, cnn_params, with_stats=det_stats
                 ),
                 signals,
             )
@@ -314,7 +320,7 @@ def make_demux_step(
 
     detect_only = _wrap(
         lambda signals, in_lens: detect_boundaries_with_fallback(
-            signals, in_lens, dcfg, cnn_params
+            signals, in_lens, dcfg, cnn_params, with_stats=det_stats
         ),
         2,
         _row,
