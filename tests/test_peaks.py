@@ -153,3 +153,15 @@ def test_select_top_peaks_two_stage_matches_single_stage():
     _, idx = jax.lax.top_k(mrev, k)
     want = (L - 1) - np.asarray(idx, np.int32)
     np.testing.assert_array_equal(np.asarray(sel), want)
+
+
+def test_take_rows_mxu_matches_take_along_axis():
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.window_gather import take_rows_mxu
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 50, (7, 1000)).astype(np.float32)
+    idx = rng.integers(0, 1000, (7, 113)).astype(np.int32)
+    got = np.asarray(take_rows_mxu(jnp.asarray(x), jnp.asarray(idx)))
+    want = np.take_along_axis(x, idx, axis=1)
+    np.testing.assert_array_equal(got, want)  # bit-exact, not approx

@@ -118,12 +118,16 @@ def segment_means(
     center = jnp.sum(jnp.where(valid, x, 0.0), axis=1) / nf
     xc = jnp.where(valid, x - center[:, None], 0.0)
     # Exclusive cumsum C[p] = sum(xc[:p]); segment sum = C[b1] - C[b0].
+    # ONE gather of all boundary positions (adjacent-diff after) through
+    # the MXU one-hot gather — two take_along_axis row gathers here were
+    # ~2.1 ms of the demux step on TPU.
+    from warpdemux_tpu.ops.window_gather import take_rows_auto
+
     csum = jnp.cumsum(xc, axis=1)
     cpad = jnp.concatenate([jnp.zeros((B, 1), x.dtype), csum], axis=1)  # (B, L+1)
     b = jnp.clip(boundaries, 0, L)
-    seg_sum = jnp.take_along_axis(cpad, b[:, 1:], axis=1) - jnp.take_along_axis(
-        cpad, b[:, :-1], axis=1
-    )
+    g = take_rows_auto(cpad, b)  # (B, E+1)
+    seg_sum = g[:, 1:] - g[:, :-1]
     seg_len = (b[:, 1:] - b[:, :-1]).astype(x.dtype)
     means = jnp.where(seg_len > 0, seg_sum / jnp.maximum(seg_len, 1.0), 0.0)
     return means + center[:, None]
