@@ -165,3 +165,31 @@ def test_take_rows_mxu_matches_take_along_axis():
     got = np.asarray(take_rows_mxu(jnp.asarray(x), jnp.asarray(idx)))
     want = np.take_along_axis(x, idx, axis=1)
     np.testing.assert_array_equal(got, want)  # bit-exact, not approx
+
+
+def test_suppress_pallas_matches_xla_fixpoint():
+    """The Pallas VMEM fixpoint must reproduce the XLA suppress_by_distance
+    exactly (same recurrence, same tie order), interpret mode on CPU."""
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.peaks import peak_mask_batch, suppress_by_distance
+    from warpdemux_tpu.ops.peaks_pallas import suppress_by_distance_pallas
+
+    rng = np.random.default_rng(11)
+    B, L = 12, 2048
+    scores = np.abs(rng.normal(0, 3, (B, L))).astype(np.float32)
+    # quantize some rows to force ties
+    scores[::3] = np.round(scores[::3] * 2) / 2
+    n = np.full(B, L, np.int32)
+    n[5] = 700
+    is_peak, _ = peak_mask_batch(jnp.asarray(scores), jnp.asarray(n))
+    dist = rng.integers(1, 8, B).astype(np.int32)
+
+    want = np.asarray(
+        suppress_by_distance(jnp.asarray(scores), is_peak, jnp.asarray(dist), 8)
+    )
+    got = np.asarray(
+        suppress_by_distance_pallas(
+            jnp.asarray(scores), is_peak, jnp.asarray(dist), 8, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)

@@ -135,6 +135,18 @@ def suppress_by_distance(
     """
     B, L = scores.shape
     W = max(int(max_distance), 1)
+    if (
+        jax.default_backend() == "tpu"
+        and scores.dtype == jnp.float32
+        and L >= 1024
+    ):
+        # VMEM-resident fixpoint (same recurrence; the XLA while_loop
+        # streams the carried masks through HBM every round)
+        from warpdemux_tpu.ops.peaks_pallas import suppress_by_distance_pallas
+
+        return suppress_by_distance_pallas(
+            scores, is_peak, distance, max_distance=W
+        )
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     d_col = distance.astype(jnp.int32)[:, None]
     false_row = jnp.zeros((B, L), bool)

@@ -125,7 +125,7 @@ def range_median_mad_pallas(
     starts: jnp.ndarray,
     ends: jnp.ndarray,
     with_mad: bool = True,
-    b_tile: int = 8,
+    b_tile: int | None = None,
     interpret: bool = False,
     given_meds: jnp.ndarray | None = None,
     given: tuple = (),
@@ -135,6 +135,12 @@ def range_median_mad_pallas(
     Args:
       x: (B, L) float32.
       starts, ends: (R, B) int32, clamped to [0, L].
+      b_tile: rows per kernel instance. Default: 64 for large batches
+        (measured sweep at B=1000, L=10000: 8/16/32/64 ->
+        6.1/4.2/4.0/3.5 ms — deeper tiles amortize the per-round scalar
+        overhead across 8 sublane registers; 128 exceeds what this
+        toolchain compiles), 8 for micro-batches so the pad waste stays
+        bounded.
       given_meds: optional (R, B) f32 precomputed medians; given[r]=True
         regions reuse given_meds[r] (passed through to the output) and only
         search the MAD — half the bisection work for regions whose median an
@@ -144,6 +150,8 @@ def range_median_mad_pallas(
     """
     B, L = x.shape
     R = starts.shape[0]
+    if b_tile is None:
+        b_tile = 64 if B >= 64 else 8
     if not given:
         given = (False,) * R
     Bp = -(-B // b_tile) * b_tile
