@@ -1,0 +1,110 @@
+"""Pins the synthetic bench population (VERDICT r3 weak #2).
+
+bench.py's headline runs over synth_minibatch-generated reads; across
+rounds 1-3 its pass count drifted (7387 -> 7375 -> 7274 of 8000) with
+nothing asserting why. These tests share bench.py's exact generator and
+pin (a) the pass/fail/classification population of the first rows of the
+seed-0 bench batch and (b) planted-barcode recovery through the same
+fused step, so any gate or classifier change that would shift the bench
+numbers fails a test instead of silently moving a JSON line.
+
+Reference analog: the README smoke test on 4000_rna004.pod5
+(/root/reference/README.md:641-651) plays this population-pinning role
+for the reference.
+"""
+
+import sys
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import B as BENCH_B  # noqa: E402
+from bench import L, synth_minibatch  # noqa: E402
+
+MODEL = "WDX4_rna004_v1_0"
+ADC_SCALE, ADC_OFFSET = np.float32(0.1755), np.float32(-240.0)
+N = 256  # rows pinned (per-read independent: identical inside the full batch)
+
+
+@pytest.fixture(scope="module")
+def decision_step():
+    from warpdemux_tpu.config.utils import get_model_spc_config
+    from warpdemux_tpu.models.registry import load_model
+    from warpdemux_tpu.pipeline.step import make_demux_step
+
+    model = load_model(MODEL)
+    spc = get_model_spc_config(MODEL)
+    return model, make_demux_step(
+        model, spc, input_format="adc", outputs="decision"
+    )
+
+
+def test_bench_population_pinned(decision_step):
+    """The exact pass count, barcode-call histogram, and fail taxonomy of
+    the (seed 0) bench population. If a gate/classifier change moves these,
+    update the pins HERE with an explanation in STATUS.md — the bench's
+    printed pass count must never drift silently again."""
+    _, step = decision_step
+    rng = np.random.default_rng(0)
+    adc, offset, scale, lens = synth_minibatch(rng, BENCH_B, L)
+    res = step(adc[:N], offset[:N], scale[:N], lens[:N])
+    pred = np.asarray(res.pred)
+    succ = np.asarray(res.success)
+    fail = np.asarray(res.fail_code)
+
+    assert int(succ.sum()) == 238
+    assert dict(Counter(pred[succ].tolist())) == {-1: 237, 7: 1}
+    assert dict(Counter(fail[~succ].tolist())) == {2: 15, 5: 3}
+
+
+def test_bench_planted_barcodes_recovered(decision_step):
+    """Reads planted from WDX4 support-vector fingerprints must come back
+    as their barcode through the same step the bench times."""
+    model, step = decision_step
+    rng = np.random.default_rng(7)
+    X = np.asarray(model.X_sv)
+    label_map = np.asarray(model.label_map)
+    n_sup = np.load(
+        "warpdemux_tpu/models/model_files/WDX4_rna004_v1_0.npz"
+    )["n_support"]
+    bounds = np.concatenate([[0], np.cumsum(n_sup)])
+
+    from warpdemux_tpu.live.dummy import synth_barcoded_read
+
+    rows, truth = [], []
+    for ci, bc in enumerate(label_map[:-1]):
+        for _ in range(12):
+            sv = X[rng.integers(bounds[ci], bounds[ci + 1])]
+            sig = synth_barcoded_read(rng, sv)
+            adc = np.clip(
+                np.rint(sig / ADC_SCALE - ADC_OFFSET), -32768, 32767
+            ).astype(np.int16)
+            row = np.zeros(L, np.int16)
+            m = min(len(adc), L)
+            row[:m] = adc[:m]
+            rows.append(row)
+            truth.append(int(bc))
+    adcb = np.stack(rows)
+    truth = np.asarray(truth)
+    nb = len(rows)
+    res = step(
+        adcb,
+        np.full(nb, ADC_OFFSET, np.float32),
+        np.full(nb, ADC_SCALE, np.float32),
+        np.full(nb, L, np.int32),
+    )
+    pred = np.asarray(res.pred)
+    succ = np.asarray(res.success)
+    called = succ & (pred != -1)
+
+    # exact pins (deterministic on the CPU test backend) + the floors that
+    # must hold even when the pins are legitimately updated
+    assert int(succ.sum()) == 46
+    assert int(called.sum()) == 39
+    assert int((pred[called] == truth[called]).sum()) == 38
+    assert (pred[called] == truth[called]).mean() >= 0.9
+    assert called.sum() >= 0.6 * nb
