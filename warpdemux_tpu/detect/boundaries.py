@@ -40,11 +40,19 @@ from warpdemux_tpu.detect.containers import DetectArrays
 from warpdemux_tpu.ops.normalize import masked_median, masked_mad, masked_mean_std
 
 # Whether the detect stage's ranged medians dispatch to the Pallas VMEM
-# kernel. With False the XLA radix bisection is inlined into the detect
+# kernel. With "xla" the radix bisection is inlined into the detect
 # program — which this environment's remote TPU runtime miscompiles (the
-# program "executes" but every output buffer comes back InvalidArgument), so
-# the Pallas kernel is the production path.
-_PALLAS_MEDIANS = True
+# program "executes" but every output buffer comes back InvalidArgument;
+# symptom pinned by tests/test_select.py::test_xla_median_path_on_tpu,
+# which is expected to start passing once the runtime is fixed), so the
+# Pallas kernel is the production default. Deployments can flip the
+# inlined XLA path back on without editing source:
+#     WDX_MEDIAN_IMPL=xla  (or =pallas to force the kernel)
+import os as _os
+
+_PALLAS_MEDIANS = (
+    _os.environ.get("WDX_MEDIAN_IMPL", "pallas").lower() != "xla"
+)
 
 
 @dataclass(frozen=True)
