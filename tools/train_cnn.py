@@ -73,12 +73,16 @@ def make_batch(rng, B):
     return sigs, lens, labels
 
 
-def load_real_labeled(limit=None):
+def load_real_labeled(limit=None, max_obs_adapter=None):
     """Real fixture reads labeled by the LLR detector (VERDICT r1 #4).
 
     LLR is the reference's most sensitive method and its fallback target
-    (README.md:336-349); reads it fails are masked out entirely. Returns
-    (sigs, lens, labels) like make_batch.
+    (README.md:336-349); reads it fails are masked out entirely. With
+    `max_obs_adapter` raised past the contract default (6000), the
+    long-adapter population the contract rejects still yields training
+    labels (573 vs 364 labeled reads at 9000; STATUS r3) — the CNN is a
+    boundary PROPOSER, the contract gates re-apply the bound at detect
+    time. Returns (sigs, lens, labels) like make_batch.
     """
     from dataclasses import replace
     from pathlib import Path as P
@@ -94,6 +98,8 @@ def load_real_labeled(limit=None):
         method="llr",
         fallback_to_llr=False,
     )
+    if max_obs_adapter:
+        dcfg = replace(dcfg, max_obs_adapter=max_obs_adapter)
     fixtures = sorted(
         P("/root/reference/test_data/live_balancing").glob("small_pod5_*.pod5")
     )
@@ -137,14 +143,28 @@ def main():
         help="fraction of each batch drawn from LLR-labeled real fixture "
              "reads (0 = synthetic only)",
     )
+    ap.add_argument(
+        "--real-max-adapter", type=int, default=0,
+        help="label real reads with this max_obs_adapter bound (0 = the "
+             "contract default 6000; 9000 recovers the long-adapter "
+             "population as extra training labels)",
+    )
+    ap.add_argument(
+        "--wide", action="store_true",
+        help="ARCH_WIDE: dilations to 32 (~3.8k-sample receptive field)",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     real = None
     if args.real_frac > 0:
-        real = load_real_labeled()
+        real = load_real_labeled(
+            max_obs_adapter=args.real_max_adapter or None
+        )
         print(f"loaded {len(real[0])} LLR-labeled real reads")
-    params = cnn.init_params(rng)
+    params = cnn.init_params(
+        rng, arch=cnn.ARCH_WIDE if args.wide else cnn.ARCH
+    )
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 

@@ -49,6 +49,10 @@ def load_real_batches(limit=None, batch=200):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--cnn-model", default=None,
+        help="override the config's CNN weights (detect/cnn_files/<name>)",
+    )
     args = ap.parse_args()
 
     from warpdemux_tpu.config.utils import get_model_spc_config
@@ -63,7 +67,7 @@ def main():
     dcfg = spc.detect
     fcfg = spc.fingerprint
     model = load_model("WDX4_rna004_v1_0")
-    cnn_params = cnn_mod.load_params(spc.cnn_model_name)
+    cnn_params = cnn_mod.load_params(args.cnn_model or spc.cnn_model_name)
 
     cfgs = {
         "llr": (replace(dcfg, method="llr", fallback_to_llr=False), None),

@@ -35,21 +35,34 @@ import numpy as np
 
 CNN_DIR = Path(__file__).parent / "cnn_files"
 
-# (out_ch, in_ch, kernel, dilation) per layer; final 1x1 projects to 3 classes
+# (out_ch, in_ch, kernel) per layer; layer i uses dilation 2**i (so the
+# arch is fully recoverable from the weight shapes — `apply` works for any
+# saved variant without stored metadata). Final 1x1 projects to 3 classes.
 ARCH = (
-    (16, 1, 7, 1),
-    (32, 16, 7, 2),
-    (32, 32, 7, 4),
-    (32, 32, 7, 8),
-    (3, 32, 1, 1),
+    (16, 1, 7),
+    (32, 16, 7),
+    (32, 32, 7),
+    (32, 32, 7),
+    (3, 32, 1),
+)
+# wider receptive field: dilations reach 32 (~3.8k samples at ds=10),
+# enough context to span a whole adapter when judging a polyA candidate
+ARCH_WIDE = (
+    (16, 1, 7),
+    (32, 16, 7),
+    (32, 32, 7),
+    (32, 32, 7),
+    (32, 32, 7),
+    (32, 32, 7),
+    (3, 32, 1),
 )
 N_CLASSES = 3  # 0=adapter, 1=polyA, 2=RNA
 
 
-def init_params(rng: np.random.Generator) -> dict:
+def init_params(rng: np.random.Generator, arch=ARCH) -> dict:
     """He-initialized parameter pytree."""
     params = {}
-    for i, (co, ci, k, _d) in enumerate(ARCH):
+    for i, (co, ci, k) in enumerate(arch):
         std = float(np.sqrt(2.0 / (ci * k)))
         params[f"w{i}"] = jnp.asarray(
             rng.normal(0, std, size=(co, ci, k)), jnp.float32
@@ -61,12 +74,15 @@ def init_params(rng: np.random.Generator) -> dict:
 def apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """(B, Lds) normalized signal -> (B, Lds, 3) logits."""
     h = x[:, None, :]  # NCW
-    n = len(ARCH)
-    for i, (_co, _ci, k, d) in enumerate(ARCH):
+    n = sum(1 for key in params if key.startswith("w"))
+    for i in range(n):
+        w = params[f"w{i}"]
+        k = w.shape[2]
+        d = 2**i if k > 1 else 1
         pad = (k - 1) * d // 2
         h = jax.lax.conv_general_dilated(
             h,
-            params[f"w{i}"],
+            w,
             window_strides=(1,),
             padding=[(pad, pad)],
             rhs_dilation=(d,),

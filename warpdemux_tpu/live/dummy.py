@@ -131,6 +131,7 @@ class DummyClient:
         self.stopped: dict[str, int] = {}
         self.unblocked: dict[str, float] = {}
         self._cursor = 0
+        self._by_key: dict | None = None
 
     @property
     def is_running(self) -> bool:
@@ -177,10 +178,11 @@ class DummyClient:
         return out
 
     def _find(self, channel, read_number):
-        for r in self._reads:
-            if r.channel == channel and r.read_number == read_number:
-                return r
-        return None
+        if self._by_key is None:  # built lazily: reads list is final then
+            self._by_key = {
+                (r.channel, r.read_number): r for r in self._reads
+            }
+        return self._by_key.get((channel, read_number))
 
     def stop_receiving_read(self, channel, read_number):
         """Stop streaming further chunks (MinKNOW still allows a later

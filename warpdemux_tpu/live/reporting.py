@@ -52,6 +52,8 @@ class ProcessedCounters:
 class LiveReporter:
     """Appends per-read decisions to CSV and aggregates latency stats."""
 
+    LAT_RESERVOIR = 100_000  # per-stage latency samples kept in memory
+
     CSV_FIELDS = [
         "time",
         "channel",
@@ -70,6 +72,8 @@ class LiveReporter:
         self.csv_path = self.dir / f"barcode_balancing_{run_id}.csv"
         self.counters = ProcessedCounters(num_bcs)
         self._lat = defaultdict(list)
+        self._lat_seen = defaultdict(int)
+        self._lat_rng = np.random.default_rng(0)
         self._lock = threading.Lock()
         self._fh = open(self.csv_path, "w", newline="")
         self._writer = csv.DictWriter(self._fh, fieldnames=self.CSV_FIELDS)
@@ -108,7 +112,18 @@ class LiveReporter:
             )
             if time_per_step:
                 for stage, dt in time_per_step.items():
-                    self._lat[stage].append(dt)
+                    v = self._lat[stage]
+                    n = self._lat_seen[stage] = self._lat_seen[stage] + 1
+                    # bounded reservoir sample per stage: latency memory
+                    # stays flat over an overnight run while percentiles
+                    # remain unbiased (reference keeps raw per-read lists,
+                    # live_balancing/reporting.py:505-535)
+                    if len(v) < self.LAT_RESERVOIR:
+                        v.append(dt)
+                    else:
+                        j = int(self._lat_rng.integers(0, n))
+                        if j < self.LAT_RESERVOIR:
+                            v[j] = dt
 
     def latency_stats(self) -> dict:
         """Per-stage (mean, std) seconds — the reference's end-of-run
@@ -172,6 +187,17 @@ class LiveReporter:
                 f"{b.name:<12} {b.config.balance_type:<18} [{valid}] {stats}"
             )
         return "\n".join(lines)
+
+    def reopen(self):
+        """Resume appending after a close() — lets one reporter span
+        several Session lifetimes (e.g. tools/live_soak.py's replay
+        rounds) so counters/latency reservoirs accumulate run-long."""
+        with self._lock:
+            if self._fh.closed:
+                self._fh = open(self.csv_path, "a", newline="")
+                self._writer = csv.DictWriter(
+                    self._fh, fieldnames=self.CSV_FIELDS
+                )
 
     def close(self):
         with self._lock:

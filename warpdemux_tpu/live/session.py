@@ -118,7 +118,7 @@ class Session:
     """Drives a read-until-style client with barcode balancing."""
 
     def __init__(self, client, config: SessionConfig, balancers: BarcodeBalancers,
-                 model=None, spc=None):
+                 model=None, spc=None, reporter=None):
         self.client = client
         self.config = config
         self.balancers = balancers
@@ -133,7 +133,16 @@ class Session:
         self.model = model
         self.spc = spc
         run_id = config.run_id or uuid.uuid4().hex[:8]
-        self.reporter = LiveReporter(config.save_path, run_id, model.n_classes)
+        if reporter is not None:
+            # an existing reporter (e.g. a previous session's, across
+            # tools/live_soak.py replay rounds) keeps accumulating; reopen
+            # in append mode if that session closed it at shutdown
+            reporter.reopen()
+            self.reporter = reporter
+        else:
+            self.reporter = LiveReporter(
+                config.save_path, run_id, model.n_classes
+            )
         self.crud = ChannelRepeatedUnblockDuration(
             durations=(
                 config.reject_duration,
