@@ -56,9 +56,9 @@ def test_bench_population_pinned(decision_step):
     succ = np.asarray(res.success)
     fail = np.asarray(res.fail_code)
 
-    assert int(succ.sum()) == 238
-    assert dict(Counter(pred[succ].tolist())) == {-1: 237, 7: 1}
-    assert dict(Counter(fail[~succ].tolist())) == {2: 15, 5: 3}
+    assert int(succ.sum()) == 237
+    assert dict(Counter(pred[succ].tolist())) == {-1: 236, 7: 1}
+    assert dict(Counter(fail[~succ].tolist())) == {2: 15, 5: 4}
 
 
 def test_bench_planted_barcodes_recovered(decision_step):

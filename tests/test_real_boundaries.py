@@ -78,8 +78,8 @@ def test_real_pass_rates_pinned(detections):
     # contract rna004_130bps@v1.0.toml:29-33, and one marginal-polyA read
     # correctly moves to 'mvs polya check failed'.)
     assert int(np.asarray(detections["llr"].success).sum()) == 98
-    assert int(np.asarray(detections["cnn"].success).sum()) == 86
-    assert int(np.asarray(detections["prod"].success).sum()) == 100
+    assert int(np.asarray(detections["cnn"].success).sum()) == 96
+    assert int(np.asarray(detections["prod"].success).sum()) == 98
 
 
 def test_real_boundary_agreement(detections):

@@ -372,63 +372,37 @@ def detect_boundaries_batch(
         # a missing polyA is not a failure in this method (tRNA reads often
         # have none); `found` only selects the boundary source
         found = jnp.ones(B, bool)
-    elif cfg.method == "cnn":
-        # ---- [cnn_boundaries] primary (mRNA): the CNN proposes polyA runs,
-        # the top polya_cand_k candidates are validated against the
-        # elevated+flat contract, the first (longest) valid one is refined
-        from warpdemux_tpu.detect import cnn as cnn_mod
-
-        if cnn_params is None:
-            raise ValueError(
-                "method='cnn' requires cnn_params (load_params(model_name))"
-            )
-        ds = cfg.downscale_factor
-        xn, valid_ds = cnn_mod.preprocess(xz, in_lens, ds)
-        logits = cnn_mod.apply(cnn_params, xn)
-        starts_k, lens_k = cnn_mod.polya_candidates_from_logits(
-            logits, valid_ds, cfg.cnn_polya_cand_k
-        )
-
-        adapter_proxy_med = _range_medians(
-            x,
-            jnp.zeros((1, B), jnp.int32),
-            jnp.minimum(cfg.min_obs_adapter, in_lens)[None],
-        )[0][0]
-        thr_s = cfg.search_scale * adapter_proxy_med  # (B,)
-
-        cand_pos = jnp.clip(starts_k * ds, 0, L - 1)  # (B, k) raw samples
-        mean_at = jnp.take_along_axis(mean_f, cand_pos, axis=1)
-        var_at = jnp.take_along_axis(var_w, cand_pos, axis=1)
-        ok_cand = (
-            (mean_at > thr_s[:, None])
-            & (var_at < cfg.search_var_max)
-            & (lens_k * ds >= cfg.min_obs_polya)
-        )
-        found = jnp.any(ok_cand, axis=1)
-        first = jnp.argmax(ok_cand, axis=1)[:, None]
-        sel_start = jnp.take_along_axis(cand_pos, first, axis=1)[:, 0]
-        sel_len = jnp.take_along_axis(lens_k, first, axis=1)[:, 0] * ds
-        coarse_ps = sel_start
-        coarse_pe = jnp.minimum(sel_start + sel_len, in_lens)
-        polya_candidates = jnp.sum(lens_k > 0, axis=1).astype(jnp.int32)
-
-        polya_start = _llr_refine(
-            xz, coarse_ps, cfg.llr_refine_window, jnp.int32(0), in_lens
-        )
-        polya_end = _llr_refine(
-            xz, coarse_pe, cfg.llr_refine_window, polya_start, in_lens
-        )
-        polya_start = jnp.where(found, polya_start, 0)
-        polya_end = jnp.where(found, polya_end, 0)
-
-        below_pore, _ = _first_true(
-            (mean_f < cfg.open_pore_pa) & valid, jnp.int32(0)
-        )
-        adapter_start = below_pore
-        adapter_end = polya_start
     else:
         # ---- [llr_boundaries] primary: sustained elevated+flat region ->
-        # polyA; adapter = [sub-open-pore start, polyA start)
+        # polyA; adapter = [sub-open-pore start, polyA start).
+        # ---- [cnn_boundaries] primary (mRNA) runs the SAME search gated
+        # to the CNN's predicted-polyA region: the network is a region
+        # PRIOR (where to look), the elevated+flat contract decides, so
+        # boundaries agree with LLR by construction wherever the CNN
+        # predicts the region LLR would pick. (Validating top-k candidate
+        # points instead — the previous design — failed real reads whose
+        # var_window hung past a short polyA or whose run start sat on the
+        # level ramp.)
+        region_mask = None
+        if cfg.method == "cnn":
+            from warpdemux_tpu.detect import cnn as cnn_mod
+
+            if cnn_params is None:
+                raise ValueError(
+                    "method='cnn' requires cnn_params "
+                    "(load_params(model_name))"
+                )
+            ds = cfg.downscale_factor
+            xn, valid_ds = cnn_mod.preprocess(xz, in_lens, ds)
+            logits = cnn_mod.apply(cnn_params, xn)
+            pa_ds = cnn_mod.polya_mask_from_logits(logits, valid_ds)
+            region_mask = jnp.repeat(pa_ds, ds, axis=1)
+            if region_mask.shape[1] < L:
+                region_mask = jnp.pad(
+                    region_mask,
+                    ((0, 0), (0, L - region_mask.shape[1])),
+                )
+
         # adapter level proxy: median of the first min_obs_adapter samples
         adapter_proxy_med = _range_medians(
             x,
@@ -442,6 +416,8 @@ def detect_boundaries_batch(
         thr = cfg.search_scale * adapter_proxy_med[:, None]
         win_ok = (pos + cfg.min_obs_polya) <= in_lens[:, None]
         cand = (mean_f > thr) & (var_w < cfg.search_var_max) & valid & win_ok
+        if region_mask is not None:
+            cand = cand & region_mask
 
         # sustained for min_obs_polya samples
         z = jnp.zeros((B, 1), jnp.int32)

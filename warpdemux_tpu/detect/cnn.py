@@ -113,8 +113,33 @@ def preprocess(signals: jnp.ndarray, in_lens: jnp.ndarray, ds: int):
     return jnp.where(valid, xn, 0.0), valid
 
 
+def polya_mask_from_logits(
+    logits: jnp.ndarray, valid: jnp.ndarray, close_gap: int = 2
+) -> jnp.ndarray:
+    """(B, Lds) bool mask of predicted-polyA positions.
+
+    `close_gap` morphologically closes gaps up to ~2*close_gap ds in the
+    polyA mask: per-position argmax flickers inside a real polyA
+    (measured on the real fixture reads, where p(polyA) stays >0.9 while
+    argmax dips) would otherwise fragment one run into several
+    sub-min_obs_polya pieces and fail the read with 'no polyA found'.
+    """
+    cls = jnp.argmax(logits, axis=-1)
+    is_pa = (cls == 1) & valid
+    if close_gap:
+        w = 2 * close_gap + 1
+        dil = jax.lax.reduce_window(
+            is_pa, False, jax.lax.bitwise_or, (1, w), (1, 1), "SAME"
+        )
+        is_pa = jax.lax.reduce_window(
+            dil, True, jax.lax.bitwise_and, (1, w), (1, 1), "SAME"
+        )
+        is_pa = is_pa & valid
+    return is_pa
+
+
 def polya_candidates_from_logits(
-    logits: jnp.ndarray, valid: jnp.ndarray, k: int
+    logits: jnp.ndarray, valid: jnp.ndarray, k: int, close_gap: int = 2
 ):
     """Top-k predicted-polyA runs by length.
 
@@ -122,8 +147,7 @@ def polya_candidates_from_logits(
     have length 0.
     """
     B, Lds, _ = logits.shape
-    cls = jnp.argmax(logits, axis=-1)
-    is_pa = (cls == 1) & valid
+    is_pa = polya_mask_from_logits(logits, valid, close_gap)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, Lds), 1)
     prev = jnp.concatenate([jnp.zeros((B, 1), bool), is_pa[:, :-1]], axis=1)
     run_start = is_pa & ~prev
