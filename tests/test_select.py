@@ -125,3 +125,31 @@ def test_grouped_and_range_median_mad(with_mad):
                 np.testing.assert_equal(np.asarray(mads)[r, b], wmad)
                 np.testing.assert_equal(np.asarray(mads2)[r, b], wmad)
                 np.testing.assert_equal(np.asarray(mads3)[r, b], wmad)
+
+
+def test_range_median_pallas_adc_bit_identical():
+    """The int16-ADC-domain median kernel (16 bisection rounds) must be
+    bit-identical to the float kernel on calibrated signal, including
+    tie-heavy data, even-count averages, and empty ranges."""
+    from warpdemux_tpu.ops.select_pallas import range_median_pallas_adc
+
+    rng = np.random.default_rng(7)
+    B, L = 16, 500
+    adc = rng.integers(-32768, 32767, (B, L)).astype(np.int16)
+    adc[:, :200] = rng.integers(-5, 5, (B, 200))  # heavy ties
+    off = rng.uniform(-260, -200, B).astype(np.float32)
+    s = rng.uniform(0.1, 0.3, B).astype(np.float32)
+    x = (adc.astype(np.float32) + off[:, None]) * s[:, None]
+    starts = np.stack(
+        [np.zeros(B), rng.integers(0, L // 2, B), np.full(B, 10)]
+    ).astype(np.int32)
+    ends = np.stack(
+        [np.full(B, L), rng.integers(L // 2, L, B), np.full(B, 10)]
+    ).astype(np.int32)  # third region empty
+    got = np.asarray(
+        range_median_pallas_adc(x, adc, starts, ends, interpret=True)
+    )
+    want, _ = range_median_mad_pallas(
+        x, starts, ends, with_mad=False, interpret=True
+    )
+    np.testing.assert_array_equal(got, np.asarray(want))

@@ -142,6 +142,23 @@ def main():
     elapsed = time.time() - t0
     stop.set()
     th.join(timeout=3)
+    # one final synchronous sample: the shutdown drain decides the last
+    # few reads after the sampler's last 1 s tick
+    with session.reporter._lock:
+        lat_n = sum(len(v) for v in session.reporter._lat.values())
+    samples.append(
+        dict(
+            t=time.time(),
+            decided=progress["base"]
+            + len(client.stopped)
+            + len(client.unblocked),
+            lat_samples=lat_n,
+            crud_channels=len(session.crud._last),
+            fpt_queue=session.fpt_queue.qsize(),
+            rss_mb=resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            / 1024.0,
+        )
+    )
 
     # final-report completeness
     import csv as _csv

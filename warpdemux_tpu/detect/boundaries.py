@@ -250,10 +250,18 @@ def _region_stats_fused(x, pos, starts, ends, given_meds=None, given=()):
     )
 
 
-def _range_medians(x, starts, ends, with_mad=False):
-    """Fused exact medians (optionally MADs) of [start, end) row ranges."""
-    from warpdemux_tpu.ops.select import range_median_mad
+def _range_medians(x, starts, ends, with_mad=False, adc=None):
+    """Fused exact medians (optionally MADs) of [start, end) row ranges.
 
+    `adc`: optional int16 ADC preimage of x (adc/vbz feeds) — med-only
+    launches then bisect the 16-bit integer domain (half the rounds,
+    bit-identical results; ops/select.range_medians_adc)."""
+    from warpdemux_tpu.ops.select import range_median_mad, range_medians_adc
+
+    if not with_mad and adc is not None:
+        return range_medians_adc(
+            x, adc, starts, ends, pallas_ok=_PALLAS_MEDIANS
+        )
     return range_median_mad(
         x, starts, ends, with_mad=with_mad, pallas_ok=_PALLAS_MEDIANS
     )
@@ -266,6 +274,7 @@ def detect_boundaries_batch(
     cfg: DetectConfig = DetectConfig(),
     cnn_params: dict | None = None,
     with_stats: bool = True,
+    adc: jnp.ndarray | None = None,
 ) -> DetectArrays:
     """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch.
 
@@ -273,6 +282,10 @@ def detect_boundaries_batch(
     medians/MADs the fail gates need are computed); the fallback wrapper
     uses it for the two candidate passes and fills the summary stats once
     on the merged boundaries.
+
+    `adc`: optional int16 ADC preimage of `signals` (adc/vbz input
+    formats) — gate-pass medians then use the 16-round integer-domain
+    bisection (bit-identical; ops/select_pallas.py).
     """
     x = signals.astype(jnp.float32)
     B, L = x.shape
@@ -315,6 +328,7 @@ def detect_boundaries_batch(
             x,
             adapter_start[None],
             jnp.minimum(adapter_start + cfg.min_obs_adapter, in_lens)[None],
+            adc=adc,
         )[0][0]
 
         search_from = (pk_idx + cfg.sp_offset2) * ds
@@ -408,6 +422,7 @@ def detect_boundaries_batch(
             x,
             jnp.zeros((1, B), jnp.int32),
             jnp.minimum(cfg.min_obs_adapter, in_lens)[None],
+            adc=adc,
         )[0][0]
 
         # poly(A) candidates: elevated + flat + fully inside the valid
@@ -489,7 +504,7 @@ def detect_boundaries_batch(
             starts = jnp.concatenate([starts, rna_start[None]])
             ends = jnp.concatenate([ends, ms_end[None]])
         gmeds, gmads = _range_medians(
-            x, starts, ends, with_mad=cfg.real_signal_check
+            x, starts, ends, with_mad=cfg.real_signal_check, adc=adc
         )
         empty = ends <= starts
         gmeds = jnp.where(empty, 0.0, jnp.nan_to_num(gmeds))
@@ -644,6 +659,7 @@ def detect_boundaries_with_fallback(
     cfg: DetectConfig = DetectConfig(),
     cnn_params: dict | None = None,
     with_stats: bool = True,
+    adc: jnp.ndarray | None = None,
 ) -> DetectArrays:
     """Primary detect + per-read LLR fallback (README.md:336-349).
 
@@ -658,20 +674,22 @@ def detect_boundaries_with_fallback(
     """
     if cfg.method == "llr" or not cfg.fallback_to_llr:
         return detect_boundaries_batch(
-            signals, in_lens, cfg, cnn_params, with_stats=with_stats
+            signals, in_lens, cfg, cnn_params, with_stats=with_stats,
+            adc=adc,
         )
     # Two gate-only candidate passes (no summary statistics), then the full
     # region stats are computed once on the merged boundaries — statistics
     # are a pure function of (signal, start, end), so this equals selecting
     # the per-method stats row-wise while doing a third of the median work.
     primary = detect_boundaries_batch(
-        signals, in_lens, cfg, cnn_params, with_stats=False
+        signals, in_lens, cfg, cnn_params, with_stats=False, adc=adc
     )
     llr = detect_boundaries_batch(
         signals,
         in_lens,
         replace(cfg, method="llr", fallback_to_llr=False),
         with_stats=False,
+        adc=adc,
     )
     use_llr = ~primary.success
 

@@ -245,3 +245,30 @@ def _sorted_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         ..., 0
     ]
     return jnp.where(n > 0, 0.5 * (lo + hi), jnp.nan)
+
+
+def range_medians_adc(
+    x: jnp.ndarray,
+    adc: jnp.ndarray,
+    starts: jnp.ndarray,
+    ends: jnp.ndarray,
+    pallas_ok: bool = True,
+):
+    """range_median_mad(with_mad=False) fast path when x's int16 ADC
+    preimage is available (adc/vbz input formats): the Pallas kernel
+    bisects the 16-bit ADC key (16 rounds instead of sign+31) and reads
+    the order statistics out of the calibrated f32 tile — bit-identical
+    to the float path (ops/select_pallas.py). Falls back to the float
+    engine off-TPU / when the kernel is disabled."""
+    if (
+        pallas_ok
+        and adc is not None
+        and x.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from warpdemux_tpu.ops.select_pallas import range_median_pallas_adc
+
+        return range_median_pallas_adc(x, adc, starts, ends), None
+    return range_median_mad(
+        x, starts, ends, with_mad=False, pallas_ok=pallas_ok
+    )

@@ -205,3 +205,132 @@ def range_median_mad_pallas(
     )(*operands)
     meds = meds.T[:, :B]
     return (meds, mads.T[:, :B]) if with_mad else (meds, None)
+
+
+# ---------------------------------------------------------------------------
+# ADC-domain (int16-lattice) medians: half the bisection rounds, bit-exact
+# ---------------------------------------------------------------------------
+# Calibrated nanopore signal is an affine image of int16 ADC counts,
+# x = (float32(adc) + offset) * scale with scale > 0 (pipeline/step.py
+# _calibrate_and_detect). f32 rounding keeps that map weakly monotone, so
+# the k-th smallest x IS the image of the k-th smallest adc — the median
+# bisection runs over a 16-bit integer key (16 rounds instead of the
+# float path's sign pass + 31) and the selected order statistics are then
+# READ OUT of the calibrated f32 tile itself (min over the matching /
+# next-greater ADC key), reproducing the float-path median BIT FOR BIT
+# including the even-count 0.5 * (lo + hi) average. (Re-deriving the
+# values via the affine instead would be 1-ulp fragile: XLA may or may
+# not contract the outer program's add+mul into an FMA.)
+
+_I16_BIAS = 32768  # adc + bias -> [0, 65535]
+
+
+def _rank_select_i16(kz, rank):
+    """int32 key (0..65535; sentinel-masked) of the rank-th smallest."""
+    ones = jnp.int32(1)
+
+    def body(i, res):
+        bit = jnp.left_shift(ones, jnp.int32(15) - i)
+        t = res | bit
+        cnt = jnp.sum(jnp.where(kz < t, ones, 0), axis=1, keepdims=True)
+        return jnp.where(cnt <= rank, t, res)
+
+    return jax.lax.fori_loop(0, 16, body, jnp.zeros_like(rank))
+
+
+def _median_i16(x, key, mask, n):
+    """(bt, 1) f32 median of x selected via the int16 ADC keys."""
+    inf = jnp.float32(jnp.inf)
+    kz = jnp.where(mask, key, jnp.int32(1 << 20))
+    rank_lo = jnp.maximum((n - 1) // 2, 0)
+    lo_key = _rank_select_i16(kz, rank_lo)
+    lo = jnp.min(
+        jnp.where(mask & (key == lo_key), x, inf), axis=1, keepdims=True
+    )
+    cnt_le = jnp.sum(
+        jnp.where(mask & (key <= lo_key), jnp.int32(1), 0),
+        axis=1,
+        keepdims=True,
+    )
+    nxt = jnp.min(
+        jnp.where(mask & (key > lo_key), x, inf), axis=1, keepdims=True
+    )
+    need_next = ((n % 2) == 0) & (cnt_le <= n // 2)
+    hi = jnp.where(need_next, nxt, lo)
+    med = jnp.where((n % 2) == 1, lo, 0.5 * (lo + hi))
+    return jnp.where(n > 0, med, jnp.float32(jnp.nan))
+
+
+def _kernel_adc(R, x_ref, adc_ref, se_ref, med_ref):
+    x = x_ref[...]  # (bt, L) f32 calibrated signal
+    a = adc_ref[...]  # (bt, L) int32 ADC counts
+    bt, L = a.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, L), 1)
+    key = a + jnp.int32(_I16_BIAS)
+    for r in range(R):
+        st = se_ref[:, r : r + 1]
+        en = se_ref[:, R + r : R + r + 1]
+        mask = (pos >= st) & (pos < en)
+        n = jnp.sum(jnp.where(mask, jnp.int32(1), 0), axis=1, keepdims=True)
+        med_ref[:, r : r + 1] = _median_i16(x, key, mask, n)
+
+
+@functools.partial(jax.jit, static_argnames=("b_tile", "interpret"))
+def range_median_pallas_adc(
+    x: jnp.ndarray,  # (B, L) f32 calibrated signal
+    adc: jnp.ndarray,  # (B, L) int16/int32 ADC counts (x's preimage)
+    starts: jnp.ndarray,  # (R, B) int32
+    ends: jnp.ndarray,  # (R, B) int32
+    b_tile: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Medians of the calibrated signal over [start, end) row ranges,
+    bisected in the 16-bit ADC domain (16 rounds vs the float path's 32).
+    Returns (R, B) f32, bit-identical to
+    range_median_mad_pallas(x, ..., with_mad=False)."""
+    B, L = adc.shape
+    R = starts.shape[0]
+    if b_tile is None:
+        b_tile = 64 if B >= 64 else 8
+    Bp = -(-B // b_tile) * b_tile
+    a = adc.astype(jnp.int32)
+    xf = x.astype(jnp.float32)
+    if Bp != B:
+        a = jnp.pad(a, ((0, Bp - B), (0, 0)))
+        xf = jnp.pad(xf, ((0, Bp - B), (0, 0)))
+        starts = jnp.pad(starts, ((0, 0), (0, Bp - B)))
+        ends = jnp.pad(ends, ((0, 0), (0, Bp - B)))
+    se = jnp.concatenate(
+        [
+            jnp.clip(starts, 0, L).astype(jnp.int32).T,
+            jnp.clip(ends, 0, L).astype(jnp.int32).T,
+        ],
+        axis=1,
+    )
+    kernel = functools.partial(_kernel_adc, R)
+    meds = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, R), jnp.float32),
+        grid=(Bp // b_tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b_tile, 2 * R), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b_tile, R), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * L * R * 20,
+            bytes_accessed=Bp * L * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, a, se)
+    return meds.T[:, :B]

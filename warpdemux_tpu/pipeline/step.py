@@ -309,9 +309,12 @@ def make_demux_step(
             signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
                 :, None
             ]
+            # the int16 ADC preimage rides along: gate-pass medians bisect
+            # the 16-bit integer domain (half the rounds, bit-identical)
             return (
                 detect_boundaries_with_fallback(
-                    signals, in_lens, dcfg, cnn_params, with_stats=det_stats
+                    signals, in_lens, dcfg, cnn_params,
+                    with_stats=det_stats, adc=adc,
                 ),
                 signals,
             )
@@ -481,8 +484,10 @@ def make_demux_step(
             signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
                 :, None
             ]
+            # gate-pass medians bisect the int16 ADC domain (half the
+            # rounds, bit-identical; ops/select.range_medians_adc)
             det = detect_boundaries_with_fallback(
-                signals, in_lens, dcfg, cnn_params
+                signals, in_lens, dcfg, cnn_params, adc=adc
             )
             return _pack(*_tail(signals, in_lens, det))
 
