@@ -64,3 +64,30 @@ def test_live_soak_memory_flat_and_reports_complete():
     # growth while the second 2/3 of the reads stream through
     growth = rep["rss_mb_final"] / rep["rss_mb_third"] - 1.0
     assert growth < 0.15, (rep["rss_mb_third"], rep["rss_mb_final"])
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("WDX_TPU_TESTS"),
+    reason="device test: set WDX_TPU_TESTS=1 to pin the live decision "
+    "budget on real hardware (the shared tunnel's dispatch round trips "
+    "make it environment-bound otherwise; see STATUS.md)",
+)
+def test_live_decision_budget_on_device():
+    """p99 decision latency within one 100 ms MinKNOW chunk period at a
+    channel count that fits this tunnel's dispatch round trips."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "live_latency.py"),
+            "--reads",
+            "120",
+            "--channels",
+            "24",
+            "--assert-budget",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]

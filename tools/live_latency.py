@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--save", default="/tmp/wdx_live_latency")
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--batch-wait", type=float, default=0.005)
+    ap.add_argument(
+        "--channels", type=int, default=126,
+        help="active channel count (reduce to fit slow-dispatch tunnels)",
+    )
+    ap.add_argument(
+        "--assert-budget", action="store_true",
+        help="exit nonzero unless p99 total latency < one chunk period",
+    )
     args = ap.parse_args()
 
     import jax
@@ -48,6 +56,7 @@ def main():
     ]
     client = DummyClient(
         n_reads=args.reads, chunk_size=1500, seed=7, signals=signals,
+        n_channels=args.channels,
         chunk_period_s=0.1,  # MinKNOW 100 ms chunk cadence
         stagger_s=4.0,  # molecules enter pores at random times
     )
@@ -68,7 +77,10 @@ def main():
     wall = time.time() - t0
 
     pct = session.reporter.latency_percentiles()
-    print(f"# backend={jax.default_backend()} reads={args.reads} wall={wall:.1f}s")
+    print(
+        f"# backend={jax.default_backend()} reads={args.reads} "
+        f"channels={args.channels} wall={wall:.1f}s"
+    )
     print("| stage | n | p50 ms | p90 ms | p99 ms | max ms |")
     print("|---|---|---|---|---|---|")
     for stage, s in pct.items():
@@ -84,6 +96,8 @@ def main():
             f"# p99 decision latency {tot['p99']*1e3:.1f} ms vs one 100 ms "
             f"chunk period: {verdict}"
         )
+        if args.assert_budget and verdict == "FAIL":
+            sys.exit(1)
 
 
 if __name__ == "__main__":
