@@ -291,7 +291,11 @@ def range_median_pallas_adc(
     B, L = adc.shape
     R = starts.shape[0]
     if b_tile is None:
-        b_tile = 64 if B >= 64 else 8
+        # two (b_tile, L) operand tiles (f32 signal + i32 ADC) live in VMEM
+        # at once: 64-row tiles exceed the 16 MB scoped-vmem limit at
+        # L=10000 (measured 17.34M), so this kernel tiles half as deep as
+        # the float-only one
+        b_tile = 32 if B >= 32 else 8
     Bp = -(-B // b_tile) * b_tile
     a = adc.astype(jnp.int32)
     xf = x.astype(jnp.float32)
