@@ -39,7 +39,7 @@ N_BATCHES = 12
 
 
 def measure(step_fn, resident):
-    """Fetch-closed pipelined loop (2 fetch threads), reads/s."""
+    """Fetch-closed pipelined loop (4 fetch threads), reads/s."""
     res = step_fn(*resident[0])
     jax.device_get((res.pred, res.conf, res.success))  # warm/compile
     fetchq: queue.Queue = queue.Queue()
@@ -51,7 +51,7 @@ def measure(step_fn, resident):
                 return
             jax.device_get((r.pred, r.conf, r.success))
 
-    fetchers = [threading.Thread(target=fetcher) for _ in range(2)]
+    fetchers = [threading.Thread(target=fetcher) for _ in range(4)]
     t0 = time.time()
     for th in fetchers:
         th.start()

@@ -7,13 +7,21 @@ subsequence DTW of the 82-event consensus against the segmented adapter),
 re-segmentation, DTW + SVM — on the default backend with device-resident
 inputs, the same protocol as bench.py's compute_only.
 
-Usage: python tools/bench_trna.py [B]
+With --real, the same step is instead fed the 800 real RNA004 mRNA
+fixture reads (wrong chemistry, real pore noise): the throughput then
+reflects the consensus-outlier gates churning on adversarial signal, and
+the pass count shows how many wrong-chemistry reads clear the structural
+gates (their barcode calls are pinned to the noise class by
+tests/test_trna_adversarial.py).
+
+Usage: python tools/bench_trna.py [B] [--real]
 """
 
 import queue
 import sys
 import threading
 import time
+from pathlib import Path
 
 import numpy as np
 import jax
@@ -33,7 +41,9 @@ from warpdemux_tpu.utils.synthetic import (
 )
 
 MODEL = "WDX4_tRNA_rna004_v1_0"
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+REAL = "--real" in sys.argv[1:]
+argv = [a for a in sys.argv[1:] if a != "--real"]
+B = int(argv[0]) if argv else 1000
 TRNA_BASELINE = 2630.0
 
 model = load_model(MODEL)
@@ -41,14 +51,35 @@ spc = get_model_spc_config(MODEL)
 L = spc.sig_preload_size
 rng = np.random.default_rng(0)
 
-pats = trna_barcode_patterns(n_barcodes=4, n_events=25)
 sigs = np.zeros((B, L), np.float32)
 lens = np.zeros(B, np.int32)
-for i in range(B):
-    sig, _ = synth_trna_barcoded_read(rng, pats[i % 4])
-    n = min(L, sig.size)
-    sigs[i, :n] = sig[:n]
-    lens[i] = n
+if REAL:
+    # real mRNA fixture reads looped to fill B (wrong chemistry on purpose)
+    from warpdemux_tpu.io.pod5 import yield_signal_batches
+
+    fixtures = sorted(
+        Path("/root/reference/test_data/live_balancing").glob(
+            "small_pod5_*.pod5"
+        )
+    )
+    real_sigs, real_lens = [], []
+    for f in fixtures:
+        for s, in_lens, _full, _ids in yield_signal_batches(
+            [str(f)], None, None, batch_size=200, preload_size=L
+        ):
+            real_sigs.append(np.asarray(s, np.float32))
+            real_lens.append(np.asarray(in_lens, np.int32))
+    pool_s = np.concatenate(real_sigs)
+    pool_l = np.concatenate(real_lens)
+    idx = np.arange(B) % pool_s.shape[0]
+    sigs, lens = pool_s[idx], pool_l[idx]
+else:
+    pats = trna_barcode_patterns(n_barcodes=4, n_events=25)
+    for i in range(B):
+        sig, _ = synth_trna_barcoded_read(rng, pats[i % 4])
+        n = min(L, sig.size)
+        sigs[i, :n] = sig[:n]
+        lens[i] = n
 step = make_demux_step(model, spc, input_format="pa")
 
 resident = [
@@ -87,8 +118,9 @@ for _ in fetchers:
 for th in fetchers:
     th.join()
 rps = len(resident) * B / (time.time() - t0)
+feed = "real-mRNA-fixture (wrong chemistry)" if REAL else "synthetic tRNA"
 print(
-    f"tRNA compute: {rps:.0f} reads/s "
+    f"tRNA compute [{feed}]: {rps:.0f} reads/s "
     f"(= {rps / TRNA_BASELINE:.1f}x the 16-core reference tRNA baseline) "
     f"pass={n_pass[0]}/{len(resident) * B} backend={jax.default_backend()} B={B} L={L}"
 )
