@@ -193,3 +193,72 @@ def test_suppress_pallas_matches_xla_fixpoint():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_select_top_peaks_chunkmax_matches_single_stage():
+    """Sparse kept peaks (>= 4 apart, no width-4 chunk collisions) take the
+    chunk-max fast path; its selection must reproduce the single-stage
+    top_k exactly, including tie order (quantized scores force ties)."""
+    import jax
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.peaks import select_top_peaks
+
+    rng = np.random.default_rng(11)
+    B, L, k = 16, 6200, 110
+    scores = np.round(rng.gamma(2.0, 2.0, (B, L)) * 4) / 4
+    # kept peaks on a stride-6 lattice with per-row jitter: >= 6 apart
+    keep = np.zeros((B, L), bool)
+    for b in range(B):
+        p = np.arange(3, L - 3, 6) + rng.integers(0, 2)
+        p = p[rng.random(p.size) < 0.35]
+        keep[b, p] = True
+    counts = keep.sum(axis=1).astype(np.int32)
+    assert (counts >= k).all()
+    # no collisions -> the fast path is the one being tested
+    assert (keep.reshape(B, -1, 4).sum(axis=2) < 2).all()
+
+    sel, ok = select_top_peaks(
+        jnp.asarray(scores, jnp.float32),
+        jnp.asarray(keep),
+        jnp.asarray(counts),
+        k,
+    )
+    assert bool(ok.all())
+    mrev = jnp.where(
+        jnp.asarray(keep), jnp.asarray(scores, jnp.float32), -jnp.inf
+    )[:, ::-1]
+    _, idx = jax.lax.top_k(mrev, k)
+    want = (L - 1) - np.asarray(idx, np.int32)
+    np.testing.assert_array_equal(np.asarray(sel), want)
+
+
+def test_select_top_peaks_collision_falls_back():
+    """One pair of kept peaks 2 apart inside a width-4 chunk must flip the
+    whole batch to the exact segmented path (the chunk-max candidate set
+    would drop one of them)."""
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.peaks import select_top_peaks
+
+    rng = np.random.default_rng(13)
+    B, L, k = 4, 6200, 110
+    scores = rng.gamma(2.0, 2.0, (B, L))
+    keep = np.zeros((B, L), bool)
+    for b in range(B):
+        keep[b, np.arange(3, L - 3, 6)] = True
+    # the colliding pair: positions 4 and 6 share chunk [4..7]
+    keep[0, :9] = False
+    keep[0, [4, 6]] = True
+    # make both colliding peaks top-scoring so dropping one is observable
+    scores[0, 4] = scores.max() + 2.0
+    scores[0, 6] = scores.max() + 1.0
+    counts = keep.sum(axis=1).astype(np.int32)
+
+    sel, ok = select_top_peaks(
+        jnp.asarray(scores, jnp.float32),
+        jnp.asarray(keep),
+        jnp.asarray(counts),
+        k,
+    )
+    assert bool(ok.all())
+    got = set(np.asarray(sel)[0].tolist())
+    assert {4, 6} <= got

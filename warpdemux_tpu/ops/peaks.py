@@ -210,38 +210,17 @@ def find_peaks_batch(
     return keep, jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
-def select_top_peaks(
-    scores: jnp.ndarray,
-    keep_mask: jnp.ndarray,
-    peak_count: jnp.ndarray,
-    num_events: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Keep the num_events highest-scoring peaks (reference sig_proc.py:185-188).
-
-    Tie behavior matches np.argsort(scores[peaks])[-num_events:]: equal scores
-    prefer the later peak (top_k on the reversed row). Returns
-    (sel_pos (B, num_events) int32 positions, ok (B,) = count >= num_events).
-    Rows with ok=False contain garbage and must be masked by the caller.
-
-    Long rows use a two-stage segmented top-k: the global top-k is a subset
-    of the union of per-segment top-ks, and sorting nseg segments of L/nseg
-    plus one candidate row of nseg*k is substantially cheaper than one
-    length-L sort (top_k lowers to a full row sort on TPU; this was the #2
-    op of the whole demux step at L~6k). Tie order is preserved: the row is
-    reversed *before* segmenting, so lower candidate index == later global
-    position at every stage, and top_k breaks value ties by lowest index.
-    """
+def _select_top_peaks_segmented(scores, keep_mask, num_events):
+    """Two-stage segmented top-k (the general path; see select_top_peaks)."""
     B, L = scores.shape
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     mrev = jnp.where(keep_mask, scores, neg_inf)[:, ::-1]
-    ok = peak_count >= num_events
 
     nseg = 8
     seg = -(-L // nseg)
     if L < nseg * max(num_events, 128) or seg < num_events:
         _, idx = jax.lax.top_k(mrev, num_events)
-        sel_pos = (L - 1) - idx.astype(jnp.int32)
-        return sel_pos, ok
+        return (L - 1) - idx.astype(jnp.int32)
 
     pad = nseg * seg - L
     mrev_p = jnp.pad(mrev, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -259,5 +238,89 @@ def select_top_peaks(
     rev_idx = take_rows_auto(
         cand_i.astype(jnp.float32), i2
     ).astype(jnp.int32)
-    sel_pos = (L - 1) - rev_idx
+    return (L - 1) - rev_idx
+
+
+def _select_top_peaks_chunkmax(scores, keep_mask, num_events):
+    """Width-4 chunk-max top-k (valid when no chunk holds 2 kept peaks)."""
+    B, L = scores.shape
+    C = 4
+    J = -(-L // C)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    m = jnp.where(keep_mask, scores, neg_inf)
+    mp = jnp.pad(m, ((0, 0), (0, J * C - L)), constant_values=-jnp.inf)
+    v4 = mp.reshape(B, J, C)
+    # chunk max, later lane winning ties (matches argsort tie order)
+    bestv = v4[:, :, 0]
+    bestl = jnp.zeros((B, J), jnp.int32)
+    for lane in range(1, C):
+        upd = v4[:, :, lane] >= bestv
+        bestv = jnp.where(upd, v4[:, :, lane], bestv)
+        bestl = jnp.where(upd, lane, bestl)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, J), 1) * C + bestl
+    # stage 2 on the reversed candidate row: lower index == later global
+    # position, so top_k's lowest-index tie break keeps argsort order
+    _, i2 = jax.lax.top_k(bestv[:, ::-1], num_events)
+    from warpdemux_tpu.ops.window_gather import take_rows_auto
+
+    return take_rows_auto(
+        pos[:, ::-1].astype(jnp.float32), i2
+    ).astype(jnp.int32)
+
+
+def select_top_peaks(
+    scores: jnp.ndarray,
+    keep_mask: jnp.ndarray,
+    peak_count: jnp.ndarray,
+    num_events: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep the num_events highest-scoring peaks (reference sig_proc.py:185-188).
+
+    Tie behavior matches np.argsort(scores[peaks])[-num_events:]: equal scores
+    prefer the later peak (top_k on the reversed row). Returns
+    (sel_pos (B, num_events) int32 positions, ok (B,) = count >= num_events).
+    Rows with ok=False contain garbage and must be masked by the caller.
+
+    Selection strategy on long rows (top_k lowers to a full stable
+    key-value row sort on TPU; this was the #2 op of the whole demux step
+    at L~6k):
+
+    * chunk-max fast path: keep_mask comes out of distance suppression of
+      local maxima, and local maxima are never adjacent (a peak needs a
+      fall after it, its successor a rise before it), so kept peaks sit
+      >= 2 apart — and at the production min_obs_per_base they sit >= 6
+      apart. Whenever no width-4 chunk holds two kept peaks (checked on
+      the data, not assumed), the per-chunk best kept peak is a lossless
+      candidate set of L/4 values, and one top_k over it replaces the
+      segmented sorts (~4x less sort work). Tie order is preserved: the
+      within-chunk reduction prefers the later lane, and stage 2 runs on
+      the reversed candidate row.
+    * segmented path (fallback, always exact): the global top-k is a
+      subset of the union of per-segment top-ks; sorting nseg segments of
+      L/nseg plus one candidate row of nseg*k is cheaper than one
+      length-L sort. The row is reversed *before* segmenting, so lower
+      candidate index == later global position at every stage.
+    """
+    B, L = scores.shape
+    ok = peak_count >= num_events
+    if L < 4 * num_events or L < 1024:
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        mrev = jnp.where(keep_mask, scores, neg_inf)[:, ::-1]
+        _, idx = jax.lax.top_k(mrev, num_events)
+        return (L - 1) - idx.astype(jnp.int32), ok
+
+    C = 4
+    J = -(-L // C)
+    kp = jnp.pad(keep_mask, ((0, 0), (0, J * C - L)))
+    per_chunk = jnp.sum(
+        kp.reshape(B, J, C).astype(jnp.int32), axis=2
+    )
+    collision = jnp.any(per_chunk >= 2)
+    sel_pos = jax.lax.cond(
+        collision,
+        lambda s, k: _select_top_peaks_segmented(s, k, num_events),
+        lambda s, k: _select_top_peaks_chunkmax(s, k, num_events),
+        scores,
+        keep_mask,
+    )
     return sel_pos, ok
