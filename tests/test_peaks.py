@@ -262,3 +262,45 @@ def test_select_top_peaks_collision_falls_back():
     assert bool(ok.all())
     got = set(np.asarray(sel)[0].tolist())
     assert {4, 6} <= got
+
+
+def test_bounded_plateau_fast_path_matches_scipy():
+    """Quantized rows with plateau runs of length exactly 2 and 3 (no run
+    >= 4 anywhere) take the bounded shifted-compare path; heavier
+    quantization with runs >= 4 must flip to the cummax plateau path.
+    Both must match scipy find_peaks."""
+    rng = np.random.default_rng(17)
+    B, L = 6, 300
+
+    def check(x):
+        n = np.full(B, L, np.int64)
+        d = np.full(B, 1, np.int64)
+        pos, cnt = _run_find_peaks(x, n, d)
+        for b in range(B):
+            want, _ = find_peaks(x[b], distance=1)
+            np.testing.assert_array_equal(pos[b], want)
+
+    # runs of length <= 3: quantize then break up any longer run
+    x = np.round(rng.normal(size=(B, L)) * 3) / 3
+    for b in range(B):
+        run = 1
+        for p in range(1, L):
+            run = run + 1 if x[b, p] == x[b, p - 1] else 1
+            if run > 3:
+                x[b, p] += 0.5
+                run = 1
+    assert not any(
+        (x[b, p] == x[b, p + 1] == x[b, p + 2] == x[b, p + 3])
+        for b in range(B)
+        for p in range(L - 3)
+    )
+    check(x)
+
+    # coarse quantization: plenty of runs >= 4 (fallback branch)
+    y = np.round(rng.normal(size=(B, L)))
+    assert any(
+        (y[b, p] == y[b, p + 1] == y[b, p + 2] == y[b, p + 3])
+        for b in range(B)
+        for p in range(L - 3)
+    )
+    check(y)

@@ -73,6 +73,7 @@ for ev in trace["traceEvents"]:
 
 dev_pids = {p for p, n in pid_name.items() if "TPU" in n or "device" in n.lower()}
 tot, cnt = defaultdict(float), defaultdict(int)
+scopes = {}
 mod_total = 0.0
 op_total = 0.0
 for ev in trace["traceEvents"]:
@@ -85,8 +86,13 @@ for ev in trace["traceEvents"]:
         continue
     if "step" in tname.lower():
         continue
-    tot[ev.get("name", "?")] += dur
-    cnt[ev.get("name", "?")] += 1
+    nm = ev.get("name", "?")
+    tot[nm] += dur
+    cnt[nm] += 1
+    a = ev.get("args") or {}
+    scope = a.get("long_name") or a.get("tf_op") or a.get("hlo_op") or ""
+    if scope and nm not in scopes:
+        scopes[nm] = str(scope)
     op_total += dur
 
 print(f"# module lane: {mod_total/REPS:.2f} ms/mb; op lane: {op_total/REPS:.2f} ms/mb")
@@ -95,5 +101,5 @@ print("|---|---|---|---|")
 for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
     print(
         f"| {name[:70]} | {ms/REPS:8.3f} | {cnt[name]//REPS} |"
-        f" {100*ms/max(op_total,1e-9):5.1f} |"
+        f" {100*ms/max(op_total,1e-9):5.1f} | {scopes.get(name,'')[:140]} |"
     )

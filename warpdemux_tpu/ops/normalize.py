@@ -138,7 +138,12 @@ def clip_outliers_prefix(
         x,
         jnp.zeros((1, B), jnp.int32),
         n_valid.astype(jnp.int32)[None],
-        pallas_ok=False,  # embedded in the large fingerprint program
+        # pallas_ok=False was a round-2 workaround for a remote-toolchain
+        # compile stall mixing Pallas custom-calls with big XLA graphs;
+        # the fused demux step has since carried 4+ Pallas kernels next to
+        # sorts and while_loops without issue, and the VMEM kernel saves
+        # ~0.8 ms over the XLA bisection here (31 HBM passes -> 1)
+        pallas_ok=True,
     )
     lo = med[0] - thresh * mad[0]
     hi = med[0] + thresh * mad[0]

@@ -70,7 +70,10 @@ def peak_mask_batch(
     # Gather-free formulation: pack (change position, direction) into one
     # int key and forward/backward-fill with lax.cummax. (On this TPU
     # toolchain, scans combined with gathers in one XLA program compile
-    # pathologically slowly; packed cummax keys + element-wise math do not.)
+    # pathologically slowly; packed cummax keys + element-wise math do not.
+    # A bounded-plateau shifted-compare fast path behind a lax.cond was
+    # measured SLOWER here: the conditional's operand materialization and
+    # lost cross-boundary fusion cost more than the two cummax scans.)
     #
     # Left side: the most recent change at or before p is the start s of p's
     # plateau run; its direction bit says whether x[s-1] < x[s] (a rise).
