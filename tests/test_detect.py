@@ -103,3 +103,53 @@ def test_summary_frame_columns():
     )
     for col in ["read_id", "adapter_start", "polya_mad", "rna_preloaded_len", "fail_reason"]:
         assert col in df.columns
+
+
+def test_rolling_pallas_kernels_match_jnp():
+    """Interpret-mode parity for the rolling-stats kernels: the int
+    run-sum must be bit-identical; mean/var agree to prefix-sum rounding."""
+    import jax.numpy as jnp
+    from warpdemux_tpu.detect.boundaries import (
+        _rolling_mean_var_fwd,
+        _shift_clamp,
+    )
+    from warpdemux_tpu.ops.rolling_pallas import (
+        rolling_mean_var_pallas,
+        rolling_run_sum_pallas,
+    )
+
+    rng = np.random.default_rng(31)
+    B, L = 5, 2048
+    x = jnp.asarray(rng.normal(80, 12, (B, L)), jnp.float32)
+    m_want, vf_want = _rolling_mean_var_fwd(x, 300)
+    _, vw_want = _rolling_mean_var_fwd(x, 150)
+    m, vf, vw = rolling_mean_var_pallas(x, 300, 150, interpret=True)
+    # both lowerings compute window sums as cumsum differences, so the
+    # shrinking tail windows (n -> 1) carry up to ulp(full-row cumsum)
+    # of absolute error each; the two prefix associations just round it
+    # differently. Thresh gates compare ~1.3x level ratios — 5e-4
+    # relative is far inside their margin.
+    np.testing.assert_allclose(
+        np.asarray(m), np.asarray(m_want), rtol=5e-4, atol=0.05
+    )
+    # variance adds catastrophic cancellation (s2/n - mean^2): on the
+    # shrinking tail windows true var -> 0 while the cumsum-diff error
+    # stays at ulp(full-row c2), so relative comparison is meaningful
+    # only where the window is full; the tail gets an absolute bound.
+    for got, want, w in ((vf, vf_want, 300), (vw, vw_want, 150)):
+        got, want = np.asarray(got), np.asarray(want)
+        np.testing.assert_allclose(
+            got[:, : L - w], want[:, : L - w], rtol=3e-3, atol=0.1
+        )
+        np.testing.assert_allclose(
+            got[:, L - w :], want[:, L - w :], atol=5.0
+        )
+
+    mask = jnp.asarray(rng.random((B, L)) < 0.4)
+    z = jnp.zeros((B, 1), jnp.int32)
+    cc = jnp.concatenate(
+        [z, jnp.cumsum(mask.astype(jnp.int32), axis=1)], axis=1
+    )
+    want = _shift_clamp(cc, 130) - cc[:, :L]
+    got = rolling_run_sum_pallas(mask, 130, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -126,3 +126,23 @@ def test_segment_signal_batch_fails_on_flat_signal():
     n = np.array([800, 800], np.int32)
     _, _, ok, _, _, _ = segment_signal_batch(jnp.asarray(x), jnp.asarray(n), 25, 6, 12)
     assert not bool(ok[0]) and not bool(ok[1])
+
+
+def test_ttest_pallas_matches_jnp():
+    """The Pallas windowed-t-test kernel (interpret mode) runs the same
+    element DAG as the jnp path; XLA's context-dependent algebraic
+    rewrites (x/sqrt -> x*rsqrt) leave ~1 ulp of slack, no more."""
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.segmentation import windowed_t_test
+    from warpdemux_tpu.ops.ttest_pallas import windowed_t_test_pallas
+
+    rng = np.random.default_rng(23)
+    B, L, w_max = 9, 2048, 12
+    x = jnp.asarray(rng.normal(70, 12, (B, L)), jnp.float32)
+    n = jnp.asarray(rng.integers(100, L + 1, B), jnp.int32)
+    w = jnp.asarray(rng.integers(1, w_max + 1, B), jnp.int32)
+    want, n_want = windowed_t_test(x, n, w, w_max)
+    got = windowed_t_test_pallas(x, n, w, w_max, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-7, atol=1e-30
+    )

@@ -146,6 +146,37 @@ def _rolling_mean_var_fwd(x, w):
     return mean, var
 
 
+def _rolling_stats(xz, w_mean, w_var):
+    """(mean[w_mean], var[w_mean], var[w_var]) forward rolling stats.
+
+    On TPU both cumsum pairs run in one VMEM-resident Pallas launch
+    (ops/rolling_pallas.py; XLA's length-L cumsum lowering was ~1.5 ms of
+    the step); prefix-sum rounding differs from the jnp path by ~1 ulp of
+    the running sum — the same error class XLA's own lowering carries.
+    """
+    if jax.default_backend() == "tpu" and xz.dtype == jnp.float32:
+        from warpdemux_tpu.ops.rolling_pallas import rolling_mean_var_pallas
+
+        return rolling_mean_var_pallas(xz, w_mean, w_var)
+    mean_f, var_f = _rolling_mean_var_fwd(xz, w_mean)
+    _, var_w = _rolling_mean_var_fwd(xz, w_var)
+    return mean_f, var_f, var_w
+
+
+def _run_sum(mask, w):
+    """Per-position count of True in mask[t : min(t+w, L)) (int32, exact)."""
+    B, L = mask.shape
+    if jax.default_backend() == "tpu":
+        from warpdemux_tpu.ops.rolling_pallas import rolling_run_sum_pallas
+
+        return rolling_run_sum_pallas(mask, w)
+    z = jnp.zeros((B, 1), jnp.int32)
+    cc = jnp.concatenate(
+        [z, jnp.cumsum(mask.astype(jnp.int32), axis=1)], axis=1
+    )
+    return _shift_clamp(cc, w) - cc[:, :L]
+
+
 def _first_true(mask, default):
     """Per-row index of first True, else `default`."""
     any_ = jnp.any(mask, axis=1)
@@ -294,8 +325,9 @@ def detect_boundaries_batch(
     valid = pos < in_lens[:, None]
     xz = jnp.where(valid, x, 0.0)
 
-    mean_f, var_f = _rolling_mean_var_fwd(xz, cfg.mean_window)
-    _, var_w = _rolling_mean_var_fwd(xz, cfg.var_window)
+    mean_f, var_f, var_w = _rolling_stats(
+        xz, cfg.mean_window, cfg.var_window
+    )
 
     sp_fail = jnp.zeros(B, bool)  # "rna start peak not found"
 
@@ -342,11 +374,7 @@ def detect_boundaries_batch(
             & win_ok
             & (pos >= search_from[:, None])
         )
-        z = jnp.zeros((B, 1), jnp.int32)
-        cc = jnp.concatenate(
-            [z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1
-        )
-        run_sum = _shift_clamp(cc, Wp) - cc[:, :L]
+        run_sum = _run_sum(cand, Wp)
         sustained = (run_sum == Wp) & cand
         coarse_ps, found = _first_true(sustained, jnp.int32(0))
         sust_prev = jnp.concatenate(
@@ -435,12 +463,8 @@ def detect_boundaries_batch(
             cand = cand & region_mask
 
         # sustained for min_obs_polya samples
-        z = jnp.zeros((B, 1), jnp.int32)
-        cc = jnp.concatenate(
-            [z, jnp.cumsum(cand.astype(jnp.int32), axis=1)], axis=1
-        )
         W = cfg.min_obs_polya
-        run_sum = _shift_clamp(cc, W) - cc[:, :L]
+        run_sum = _run_sum(cand, W)
         sustained = (run_sum == W) & cand
 
         coarse_ps, found = _first_true(sustained, jnp.int32(0))

@@ -24,41 +24,42 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = float(-3.4e38)
 
 
-def _suppress_kernel(W, scores_ref, peaks_ref, dist_ref, keep_ref):
-    s = scores_ref[...]  # (bt, L) f32
-    bt, L = s.shape
-    alive0f = peaks_ref[...]  # (bt, L) f32 0/1 (i8/i1 inputs trip Mosaic
-    # relayout bugs on this toolchain; all mask crossings stay f32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, L), 1)
+def _suppress_kernel(W, L_real, scores_ref, peaks_ref, dist_ref, keep_ref):
+    # Operates on a W-lane NEG/zero border on each side (built by the
+    # caller): rolls then read border values instead of wrapped row data,
+    # so the per-offset edge-validity masks disappear from the loop body.
+    s = scores_ref[...]  # (bt, Lp) f32, NEG in the borders
+    bt, Lp = s.shape
+    alive0f = peaks_ref[...]  # (bt, Lp) f32 0/1, 0 in the borders
+    # (i8/i1 inputs trip Mosaic relayout bugs on this toolchain; all mask
+    # crossings stay f32)
     # full-width per-row distance (Mosaic miscompiles broadcast booleans
     # from (bt, 1) sublane-replicated vectors; int32 add-broadcast is fine)
-    df = jnp.zeros((bt, L), jnp.int32) + dist_ref[...][:, :1]
+    df = jnp.zeros((bt, Lp), jnp.int32) + dist_ref[...][:, :1]
+    # per-offset distance masks are round-invariant: hoist them
+    within = [o < df for o in range(1, W)]
 
     def shifted(a, o):
-        # neighbor value at p+o (o may be negative), NEG outside the row
-        v = pltpu.roll(a, (-o) % L, axis=1)
-        ok = (pos + o >= 0) & (pos + o < L)
-        return jnp.where(ok, v, _NEG)
+        return pltpu.roll(a, (-o) % Lp, axis=1)
 
     def round_fn(state):
         alive, keep = state
         s_alive = jnp.where(alive > 0, s, _NEG)
-        dom = jnp.zeros((bt, L), bool)
+        dom = jnp.zeros((bt, Lp), bool)
         for o in range(1, W):
-            within = o < df  # (bt, L)
             right = shifted(s_alive, o)
             left = shifted(s_alive, -o)
-            dom = dom | (within & (right >= s_alive)) | (
-                within & (left > s_alive)
+            dom = dom | (
+                within[o - 1] & ((right >= s_alive) | (left > s_alive))
             )
         winner = (alive > 0) & ~dom
         keep = jnp.where(winner, 1.0, keep)
         wf = jnp.where(winner, 1.0, 0.0)
-        killed = jnp.zeros((bt, L), bool)
+        killed = jnp.zeros((bt, Lp), bool)
         for o in range(1, W):
-            within = o < df
             killed = killed | (
-                within & ((shifted(wf, o) > 0) | (shifted(wf, -o) > 0))
+                within[o - 1]
+                & ((shifted(wf, o) > 0) | (shifted(wf, -o) > 0))
             )
         alive = jnp.where(winner | killed, 0.0, alive)
         return alive, keep
@@ -67,7 +68,7 @@ def _suppress_kernel(W, scores_ref, peaks_ref, dist_ref, keep_ref):
         return jnp.any(state[0] > 0)
 
     _, keep = jax.lax.while_loop(
-        cond, round_fn, (alive0f, jnp.zeros((bt, L), jnp.float32))
+        cond, round_fn, (alive0f, jnp.zeros((bt, Lp), jnp.float32))
     )
     keep_ref[...] = keep
 
@@ -95,36 +96,43 @@ def suppress_by_distance_pallas(
         b_tile = max(8, -(-B // 8) * 8 // 2 or 8)
         b_tile = min(b_tile, 64)
     Bp = -(-B // b_tile) * b_tile
-    if Bp != B:
-        scores = jnp.pad(scores, ((0, Bp - B), (0, 0)))
-        is_peak = jnp.pad(is_peak, ((0, Bp - B), (0, 0)))
-        distance = jnp.pad(distance, (0, Bp - B))
+    # W-lane NEG borders on both sides (right border rounded up so the
+    # padded width stays a lane multiple): in-kernel rolls then read
+    # border values instead of wrapped row data, so the round loop needs
+    # no edge-validity masks
+    pad_r = -(-(L + 2 * W) // 128) * 128 - (L + W)
+    scores = jnp.pad(
+        scores.astype(jnp.float32),
+        ((0, Bp - B), (W, pad_r)),
+        constant_values=_NEG,
+    )
+    is_peak = jnp.pad(
+        is_peak.astype(jnp.float32), ((0, Bp - B), (W, pad_r))
+    )
+    distance = jnp.pad(distance, (0, Bp - B))
+    Lp = L + W + pad_r
     d2 = jnp.broadcast_to(
         distance.astype(jnp.int32)[:, None], (Bp, 128)
     )
 
-    kernel = functools.partial(_suppress_kernel, W)
+    kernel = functools.partial(_suppress_kernel, W, L)
     keepf = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lp), jnp.float32),
         grid=(Bp // b_tile,),
         in_specs=[
-            pl.BlockSpec((b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (b_tile, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=Bp * L * W * 24,
+            flops=Bp * L * W * 16,
             bytes_accessed=Bp * L * 12,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        scores.astype(jnp.float32),
-        is_peak.astype(jnp.float32),
-        d2,
-    )
-    return keepf[:B] > 0
+    )(scores, is_peak, d2)
+    return keepf[:B, W : W + L] > 0

@@ -49,6 +49,18 @@ def windowed_t_test(
     dtype = x.dtype
     n_valid = n_valid.astype(jnp.int32)
     w = w.astype(jnp.int32)
+    if (
+        dtype == jnp.float32
+        and L >= 1024
+        and jax.default_backend() == "tpu"
+    ):
+        # VMEM-resident kernel: the identical element DAG (~1 ulp from
+        # XLA's context-dependent rewrites; see ops/ttest_pallas.py),
+        # one HBM round trip instead of ~70 fused streaming passes
+        from warpdemux_tpu.ops.ttest_pallas import windowed_t_test_pallas
+
+        scores = windowed_t_test_pallas(x, n_valid, w, w_max)
+        return scores, jnp.maximum(n_valid - 2 * w, 0)
     wf = w.astype(dtype)[:, None]
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
