@@ -78,7 +78,7 @@ def rolling_mean_var_pallas(
     x: jnp.ndarray,
     w_mean: int,
     w_var: int,
-    b_tile: int = 16,
+    b_tile: int = 24,  # 16 -> 32 measured ~1.9x standalone, but 32 needs 16.78M scoped VMEM in-step (limit 16M); 24 fits
     interpret: bool = False,
 ):
     """(mean[w_mean], var[w_mean], var[w_var]) forward rolling stats.
@@ -123,7 +123,7 @@ def _run_sum_kernel(w, m_ref, out_ref):
 def rolling_run_sum_pallas(
     mask: jnp.ndarray,
     w: int,
-    b_tile: int = 16,
+    b_tile: int = 32,  # same cumsum structure as the mean/var kernel
     interpret: bool = False,
 ) -> jnp.ndarray:
     """sum of mask over [t, min(t+w, L)) per position — int32, exact.
