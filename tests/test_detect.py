@@ -153,3 +153,35 @@ def test_rolling_pallas_kernels_match_jnp():
     want = _shift_clamp(cc, 130) - cc[:, :L]
     got = rolling_run_sum_pallas(mask, 130, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rolling_kernels_on_device():
+    """Non-interpret Mosaic-lowered parity for the rolling kernels at the
+    production L=10000 (not a 128-lane multiple) and an odd L=4444: the
+    interpret-mode test above bypasses the Mosaic lowering of pltpu.roll,
+    which is exactly where a non-lane-multiple miscompile would live
+    (ADVICE r4). Runs tools/check_rolling_device.py in a subprocess (the
+    suite conftest pins the CPU backend); the int run-sum kernel must be
+    bit-exact, mean/var within the documented prefix-sum rounding class."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    if not os.environ.get("WDX_TPU_TESTS"):
+        pytest.skip(
+            "device test: set WDX_TPU_TESTS=1 to lower the rolling kernels "
+            "through Mosaic on the attached TPU (verified green on the "
+            "round-5 device; see STATUS.md)"
+        )
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "check_rolling_device.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]

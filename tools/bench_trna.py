@@ -57,11 +57,19 @@ if REAL:
     # real mRNA fixture reads looped to fill B (wrong chemistry on purpose)
     from warpdemux_tpu.io.pod5 import yield_signal_batches
 
-    fixtures = sorted(
-        Path("/root/reference/test_data/live_balancing").glob(
-            "small_pod5_*.pod5"
+    import os
+
+    fixture_dir = Path(
+        os.environ.get(
+            "WDX_FIXTURE_DIR", "/root/reference/test_data/live_balancing"
         )
     )
+    fixtures = sorted(fixture_dir.glob("small_pod5_*.pod5"))
+    if not fixtures:
+        sys.exit(
+            f"--real: no small_pod5_*.pod5 fixtures in {fixture_dir} "
+            "(set WDX_FIXTURE_DIR to a directory with pod5 fixtures)"
+        )
     real_sigs, real_lens = [], []
     for f in fixtures:
         for s, in_lens, _full, _ids in yield_signal_batches(

@@ -96,8 +96,8 @@ for ev in trace["traceEvents"]:
     op_total += dur
 
 print(f"# module lane: {mod_total/REPS:.2f} ms/mb; op lane: {op_total/REPS:.2f} ms/mb")
-print("| op | ms/minibatch | calls/mb | % |")
-print("|---|---|---|---|")
+print("| op | ms/minibatch | calls/mb | % | scope |")
+print("|---|---|---|---|---|")
 for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
     print(
         f"| {name[:70]} | {ms/REPS:8.3f} | {cnt[name]//REPS} |"
