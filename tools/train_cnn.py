@@ -153,6 +153,12 @@ def main():
         "--wide", action="store_true",
         help="ARCH_WIDE: dilations to 32 (~3.8k-sample receptive field)",
     )
+    ap.add_argument(
+        "--input-cap", type=int, default=7168,
+        help="train with the production prefix cap (DetectConfig."
+             "cnn_input_cap): input zeroed, validity and labels masked past "
+             "the cap. 0 = full-window (legacy v1-v3 weights)",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -168,11 +174,23 @@ def main():
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
+    cap = args.input_cap
+
+    def capped(x, lens):
+        """Mirror detect/boundaries.py's prefix-causal CNN input."""
+        if not cap:
+            return x, lens
+        pos = jnp.arange(x.shape[1])[None, :]
+        return jnp.where(pos < cap, x, 0.0), jnp.minimum(lens, cap)
+
     @jax.jit
     def loss_fn(params, x, lens, labels):
-        xn, _valid = cnn.preprocess(x, lens, DS)
+        xn, _valid = cnn.preprocess(*capped(x, lens), DS)
         logits = cnn.apply(params, xn)
         mask = labels >= 0
+        if cap:
+            lane = jnp.arange(labels.shape[1])[None, :]
+            mask = mask & (lane * DS < cap)
         lab = jnp.maximum(labels, 0)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, lab)
         acc = jnp.sum(
@@ -213,7 +231,9 @@ def main():
 
     # quick candidate-quality eval
     sigs, lens, labels = make_batch(rng, 64)
-    xn, valid = cnn.preprocess(jnp.asarray(sigs), jnp.asarray(lens), DS)
+    xn, valid = cnn.preprocess(
+        *capped(jnp.asarray(sigs), jnp.asarray(lens)), DS
+    )
     logits = cnn.apply(params, xn)
     starts, lens_k = cnn.polya_candidates_from_logits(logits, valid, 5)
     has_pa = np.array([(l == 1).any() for l in np.asarray(labels)])

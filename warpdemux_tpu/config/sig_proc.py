@@ -133,6 +133,7 @@ class SigProcConfig:
             min_len_polya=int(sp.get("min_len_polya", 10)),
             sp_detect_polya=bool(sp.get("detect_polya", True)),
             cnn_polya_cand_k=int(cnn.get("polya_cand_k", 5)),
+            cnn_input_cap=int(cnn.get("input_cap", 7168)),
             fallback_to_llr=bool(
                 cnn.get("fallback_to_llr", True)
                 if primary == "cnn"

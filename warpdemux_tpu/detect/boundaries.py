@@ -110,6 +110,17 @@ class DetectConfig:
     sp_detect_polya: bool = True
     # [cnn_boundaries]
     cnn_polya_cand_k: int = 5
+    # The CNN region prior sees only the first cnn_input_cap samples of the
+    # read (input zeroed, validity capped, normalization stats computed over
+    # the capped window). This makes the CNN mask a pure function of the
+    # read PREFIX, which the two-stage wire feed (pipeline/step.py
+    # make_twostage_decision_step) relies on for provably-identical stage-1
+    # decisions: a 7168-sample prefix covers max_obs_adapter=6000 + the
+    # poly(A) window for the bulk of reads, and reads whose poly(A) lies
+    # beyond the cap are picked up by the LLR fallback chain
+    # (fallback_to_llr, README.md:336-349) exactly like other CNN misses.
+    # 0 disables the cap (full-window CNN; not two-stage-compatible).
+    cnn_input_cap: int = 7168
     # fallback chain (README.md:336-349: cnn_boundaries.fallback_to_llr /
     # rna_start_peak.fallback_to_llr): reads the primary method fails are
     # re-detected with the LLR method
@@ -298,7 +309,9 @@ def _range_medians(x, starts, ends, with_mad=False, adc=None):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_stats"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "with_stats", "resolve_limit")
+)
 def detect_boundaries_batch(
     signals: jnp.ndarray,
     in_lens: jnp.ndarray,
@@ -306,6 +319,7 @@ def detect_boundaries_batch(
     cnn_params: dict | None = None,
     with_stats: bool = True,
     adc: jnp.ndarray | None = None,
+    resolve_limit: int = 0,
 ) -> DetectArrays:
     """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch.
 
@@ -317,6 +331,28 @@ def detect_boundaries_batch(
     `adc`: optional int16 ADC preimage of `signals` (adc/vbz input
     formats) — gate-pass medians then use the 16-round integer-domain
     bisection (bit-identical; ops/select_pallas.py).
+
+    `resolve_limit`: when nonzero, also emit `resolved` (B,) bool — True
+    where this result is PROVABLY identical to what the same call would
+    return with real signal past sample `resolve_limit` (the caller shipped
+    only the first resolve_limit samples and zero-padded the rest, keeping
+    the true in_lens). The predicate is conservative:
+
+      - whole read shipped (in_len <= limit): identical program input;
+      - llr/cnn pass or prefix-stable fail: the first sustained poly(A)
+        candidate, its lapse end, the adapter start, every rolling window
+        (var_window), refine window (mean_window/2 + llr_refine_window) and
+        gate region they imply all lie inside the prefix, and the CNN
+        region prior is prefix-causal by cnn_input_cap <= limit. "No polyA
+        found" (code 2) is never prefix-stable (the tail could hold one);
+        start_peak and [med_shift] configurations (whose gate reads up to
+        in_len) resolve only whole reads.
+
+    The downstream fingerprint/classify stages consult only
+    [adapter_start - padding, adapter_end + padding) plus in_lens clamps,
+    so a resolved detect row makes the whole decision row resolved
+    (pinned end-to-end by tests/test_twostage.py on synthetic and real
+    reads).
     """
     x = signals.astype(jnp.float32)
     B, L = x.shape
@@ -414,6 +450,7 @@ def detect_boundaries_batch(
         # a missing polyA is not a failure in this method (tRNA reads often
         # have none); `found` only selects the boundary source
         found = jnp.ones(B, bool)
+        _rl_info = None  # start_peak resolves whole reads only
     else:
         # ---- [llr_boundaries] primary: sustained elevated+flat region ->
         # polyA; adapter = [sub-open-pore start, polyA start).
@@ -435,7 +472,14 @@ def detect_boundaries_batch(
                     "(load_params(model_name))"
                 )
             ds = cfg.downscale_factor
-            xn, valid_ds = cnn_mod.preprocess(xz, in_lens, ds)
+            if cfg.cnn_input_cap and cfg.cnn_input_cap < L:
+                # prefix-causal CNN: input, validity and normalization
+                # stats all capped at cnn_input_cap (see DetectConfig)
+                x_cnn = jnp.where(pos < cfg.cnn_input_cap, xz, 0.0)
+                lens_cnn = jnp.minimum(in_lens, cfg.cnn_input_cap)
+            else:
+                x_cnn, lens_cnn = xz, in_lens
+            xn, valid_ds = cnn_mod.preprocess(x_cnn, lens_cnn, ds)
             logits = cnn_mod.apply(cnn_params, xn)
             pa_ds = cnn_mod.polya_mask_from_logits(logits, valid_ds)
             region_mask = jnp.repeat(pa_ds, ds, axis=1)
@@ -481,8 +525,8 @@ def detect_boundaries_batch(
         # level is close to the threshold; LLR refinement pins the sample).
         flat_high = (mean_f > thr) & (var_f <= cfg.search_var_max) & valid
         lapse = (~flat_high) & (pos >= coarse_ps[:, None] + W)
-        coarse_pe, has_end = _first_true(lapse, jnp.int32(0))
-        coarse_pe = jnp.where(has_end, coarse_pe, in_lens)
+        pe_first, has_end = _first_true(lapse, jnp.int32(0))
+        coarse_pe = jnp.where(has_end, pe_first, in_lens)
         coarse_pe = jnp.minimum(coarse_pe + cfg.mean_window // 2, in_lens)
 
         # LLR sample-precision refinement of both boundaries
@@ -501,6 +545,7 @@ def detect_boundaries_batch(
         )
         adapter_start = below_pore
         adapter_end = polya_start
+        _rl_info = (coarse_ps, pe_first, has_end, adapter_start)
 
     # ---- region statistics (one fused ranged-median launch for all regions)
     rna_start = polya_end
@@ -634,6 +679,57 @@ def detect_boundaries_batch(
         ) / jnp.maximum(jnp.sum(op_mask, axis=1), 1)
         fail = set_fail(fail, frac_open > 0.5, 8)
 
+    resolved = None
+    if resolve_limit:
+        lim = int(resolve_limit)
+        whole = in_lens <= lim
+        if _rl_info is None or cfg.detect_med_shift:
+            # start_peak boundaries and the [med_shift] gate read up to
+            # in_len — only whole reads are provably stable there
+            resolved = whole
+        else:
+            if cfg.method == "cnn" and not (
+                0 < cfg.cnn_input_cap <= lim
+            ):
+                raise ValueError(
+                    "resolve_limit with method='cnn' requires a prefix-"
+                    f"causal CNN: cnn_input_cap in (0, {lim}], got "
+                    f"{cfg.cnn_input_cap}"
+                )
+            if lim < cfg.min_obs_adapter + cfg.var_window:
+                raise ValueError(
+                    "resolve_limit must cover the adapter-level proxy "
+                    "window plus the rolling margin"
+                )
+            # Identity horizon of the zero-padded prefix run: rolling
+            # stats at q match the full run iff q + var_window <= lim; the
+            # poly(A)-end refinement reads up to pe + mean_window/2 +
+            # llr_refine_window. One margin covers both.
+            margin = max(
+                cfg.var_window,
+                cfg.mean_window // 2 + cfg.llr_refine_window,
+            )
+            c_ps, c_pe, c_has_end, a_start = _rl_info
+            bound_ok = (
+                found
+                & c_has_end
+                & (c_ps + cfg.min_obs_polya + margin <= lim)
+                & (c_pe + margin <= lim)
+                & (a_start + margin <= lim)
+            )
+            # prefix-stable outcomes: a pass, or a fail whose gate only
+            # consulted the (prefix-confined) adapter/polyA regions.
+            # "no polyA found" (2) and "signal too short" (1, subsumed by
+            # whole) are NOT stable: more signal could change them.
+            gate_fail = (
+                (fail == 3)
+                | (fail == 4)
+                | (fail == 5)
+                | (fail == 6)
+                | (fail == 8)
+            )
+            resolved = whole | (bound_ok & ((fail == 0) | gate_fail))
+
     success = fail == 0
     return DetectArrays(
         success=success,
@@ -673,10 +769,13 @@ def detect_boundaries_batch(
         llr_polya_start=polya_start,
         llr_polya_end=polya_end,
         llr_fail=fail,
+        resolved=resolved,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_stats"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "with_stats", "resolve_limit")
+)
 def detect_boundaries_with_fallback(
     signals: jnp.ndarray,
     in_lens: jnp.ndarray,
@@ -684,6 +783,7 @@ def detect_boundaries_with_fallback(
     cnn_params: dict | None = None,
     with_stats: bool = True,
     adc: jnp.ndarray | None = None,
+    resolve_limit: int = 0,
 ) -> DetectArrays:
     """Primary detect + per-read LLR fallback (README.md:336-349).
 
@@ -699,14 +799,15 @@ def detect_boundaries_with_fallback(
     if cfg.method == "llr" or not cfg.fallback_to_llr:
         return detect_boundaries_batch(
             signals, in_lens, cfg, cnn_params, with_stats=with_stats,
-            adc=adc,
+            adc=adc, resolve_limit=resolve_limit,
         )
     # Two gate-only candidate passes (no summary statistics), then the full
     # region stats are computed once on the merged boundaries — statistics
     # are a pure function of (signal, start, end), so this equals selecting
     # the per-method stats row-wise while doing a third of the median work.
     primary = detect_boundaries_batch(
-        signals, in_lens, cfg, cnn_params, with_stats=False, adc=adc
+        signals, in_lens, cfg, cnn_params, with_stats=False, adc=adc,
+        resolve_limit=resolve_limit,
     )
     llr = detect_boundaries_batch(
         signals,
@@ -714,16 +815,27 @@ def detect_boundaries_with_fallback(
         replace(cfg, method="llr", fallback_to_llr=False),
         with_stats=False,
         adc=adc,
+        resolve_limit=resolve_limit,
     )
     use_llr = ~primary.success
 
     def sel(p, l):
+        if p is None or l is None:
+            return None
         cond = use_llr
         if p.ndim > 1:
             cond = cond.reshape((-1,) + (1,) * (p.ndim - 1))
         return jnp.where(cond, l, p)
 
     merged = DetectArrays(*[sel(p, l) for p, l in zip(primary, llr)])
+    if resolve_limit:
+        # a merged row is stage-1-resolved if the primary pass is provably
+        # stable AND (it succeeded — the llr pass never enters the row — or
+        # it stably failed and the selected llr row is itself stable)
+        merged = merged._replace(
+            resolved=primary.resolved
+            & (primary.success | llr.resolved)
+        )
     if not with_stats:
         return merged._replace(
             used_llr_fallback=use_llr,

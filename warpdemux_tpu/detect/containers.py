@@ -96,6 +96,13 @@ class DetectArrays(NamedTuple):
     llr_polya_start: jnp.ndarray = None
     llr_polya_end: jnp.ndarray = None
     llr_fail: jnp.ndarray = None
+    # Stage-1 resolution flag (two-stage wire feed): True where this result
+    # is PROVABLY what detection over the full preload would return, because
+    # either the whole read fit the stage-1 prefix or every window the
+    # decision consulted lies inside it (detect_boundaries_batch
+    # resolve_limit; see pipeline/step.py make_twostage_decision_step).
+    # None unless a resolve_limit was requested.
+    resolved: jnp.ndarray = None
 
     def to_summary_frame(
         self, read_ids, full_lengths, in_lengths, primary_method: str = "llr"

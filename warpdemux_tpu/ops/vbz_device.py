@@ -77,6 +77,89 @@ def inner_layout_from_adc(sig: np.ndarray) -> bytes:
     return keys.tobytes() + data.tobytes()
 
 
+# bytes-per-uint8 popcount LUT (wide samples carry 2 data bytes; counting
+# key bits gives the data-stream offset of any sample prefix in O(klen))
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+_D1_LADDER = (7168, 7680, 8192, 8704, 9216, 10240, 12288, 14336)
+_DT_LADDER = (2048, 2560, 3072, 3584, 4096, 5120, 5888)
+_ROW_LADDER = (64, 128, 256, 512)
+
+
+def _ladder_pick(ladder, need):
+    for v in ladder:
+        if v >= need:
+            return v
+    return -(-need // 256) * 256
+
+
+def split_wire_host(
+    keys: np.ndarray,  # (B, klen) u8 full-wire keys
+    data: np.ndarray,  # (B, D) u8 full-wire data
+    in_lens: np.ndarray,
+    stage1_len: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stage-1 slice of a full-wire VBZ batch (two-stage preload).
+
+    The inner layout is a prefix-closed stream: the first `stage1_len`
+    samples occupy keys[:, :stage1_len/8] and data[:, :off1) where
+    off1 = min(in_len, stage1_len) + popcount(stage-1 keys). Returns
+    (keys1, data1, off1) with data1 width from a fixed ladder — no
+    per-row repacking, just slices of the arrays the zstd step already
+    produced. (Reference preload contract: file_proc.py:227-279; this is
+    the wire-thinning the reference cannot do because its preload ships
+    decoded float32.)
+    """
+    if stage1_len % 8:
+        raise ValueError("stage1_len must be a multiple of 8")
+    klen1 = stage1_len // 8
+    keys1 = np.ascontiguousarray(keys[:, :klen1])
+    n_wide1 = _POPCOUNT[keys1].sum(axis=1, dtype=np.int64)
+    off1 = np.minimum(in_lens.astype(np.int64), stage1_len) + n_wide1
+    d1 = _ladder_pick(_D1_LADDER, int(off1.max(initial=1)))
+    data1 = np.ascontiguousarray(data[:, :d1])
+    return keys1, data1, off1
+
+
+def pack_tails_host(
+    keys: np.ndarray,
+    data: np.ndarray,
+    in_lens: np.ndarray,
+    off1: np.ndarray,  # from split_wire_host
+    rows: np.ndarray,  # unresolved row indices (host order preserved)
+    stage1_len: int,
+    n_samples: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tail wire for the unresolved rows: samples [stage1_len, in_len).
+
+    Returns (rows_padded, keys_t, data_t): row count padded to a fixed
+    ladder with the sentinel B (scatter mode='drop' discards it on
+    device), data width from a fixed ladder. The tail deltas are the
+    original stream bytes — decode restores absolute ADC by adding the
+    stage-1 row's last sample (pipeline/step.py _assemble).
+    """
+    B = keys.shape[0]
+    klen1 = stage1_len // 8
+    klen = (n_samples + 7) // 8
+    rows = np.asarray(rows, np.int64)
+    bu = _ladder_pick(_ROW_LADDER, max(len(rows), 1)) if len(rows) <= 512 else B
+    bu = min(bu, B)
+    keys_sel = keys[rows, klen1:klen]
+    n_wide = _POPCOUNT[keys[rows, :klen]].sum(axis=1, dtype=np.int64)
+    end = np.minimum(in_lens[rows].astype(np.int64), n_samples) + n_wide
+    sizes = end - off1[rows]
+    dt = _ladder_pick(_DT_LADDER, int(sizes.max(initial=1)))
+    keys_t = np.zeros((bu, klen - klen1), np.uint8)
+    data_t = np.zeros((bu, dt), np.uint8)
+    rows_out = np.full(bu, B, np.int32)
+    for j, r in enumerate(rows):
+        keys_t[j] = keys_sel[j]
+        seg = data[r, off1[r] : end[j]]
+        data_t[j, : seg.size] = seg
+        rows_out[j] = r
+    return rows_out, keys_t, data_t
+
+
 def pack_inner_host(
     payloads: list[bytes | None],
     n_samples: int,

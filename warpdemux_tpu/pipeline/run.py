@@ -376,7 +376,12 @@ def run_demux(config: Config, model=None) -> RunStats:
 
         from warpdemux_tpu.detect.containers import DetectArrays
 
-        det_n = DetectArrays(*[np.asarray(a)[:n] for a in res.detect])
+        det_n = DetectArrays(
+            *[
+                np.asarray(a)[:n] if a is not None else None
+                for a in res.detect
+            ]
+        )
         det_df = det_n.to_summary_frame(
             read_ids,
             full_lens,

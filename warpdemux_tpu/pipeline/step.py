@@ -178,12 +178,22 @@ def make_demux_step(
     input_format: str = "pa",
     mesh=None,
     outputs: str = "full",
+    resolve_limit: int = 0,
 ):
     """Build the demux step function.
 
     outputs: "full" -> PackedStepOutput (all boundary/fingerprint columns);
     "decision" -> DecisionStepOutput (pred/conf/fail/success only — the
     minimal device->host return for predictions-only runs).
+
+    resolve_limit (two-stage wire feed; requires input_format="adc",
+    outputs="decision", no mesh): the step additionally returns a (B,) bool
+    `resolved` — True where the decision is provably identical to the one
+    the full preload would produce (detect_boundaries_batch resolve_limit).
+    The adc input may then be narrower than the preload (the stage-1
+    prefix); it is padded to max_obs_trace with each row's LAST value,
+    which reproduces the VBZ decode of the full wire exactly for reads
+    that fit the prefix (trailing zero deltas hold the last sample).
 
     input_format:
       "pa":  step(signals (B, L) f32 picoamps, in_lens (B,))
@@ -213,6 +223,12 @@ def make_demux_step(
     the mesh size; outputs come back batch-sharded and are fetched whole.
     """
     dcfg, fcfg = spc.detect, spc.fingerprint
+    if resolve_limit:
+        if input_format != "adc" or outputs != "decision" or mesh is not None:
+            raise ValueError(
+                "resolve_limit requires input_format='adc', "
+                "outputs='decision', mesh=None"
+            )
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -481,15 +497,35 @@ def make_demux_step(
 
         @jax.jit
         def chain_adc(adc, offset, scale, in_lens):
+            if resolve_limit and adc.shape[1] < dcfg.max_obs_trace:
+                # last-value pad the stage-1 prefix to the full preload
+                # width: the VBZ decode of the full wire holds each row's
+                # last sample through the zero-padded trailing deltas, so
+                # reads that fit the prefix see an IDENTICAL program input
+                # (tests/test_twostage.py pins this bit-for-bit)
+                B_, W_ = adc.shape
+                adc = jnp.concatenate(
+                    [
+                        adc,
+                        jnp.broadcast_to(
+                            adc[:, -1:], (B_, dcfg.max_obs_trace - W_)
+                        ),
+                    ],
+                    axis=1,
+                )
             signals = (adc.astype(jnp.float32) + offset[:, None]) * scale[
                 :, None
             ]
             # gate-pass medians bisect the int16 ADC domain (half the
             # rounds, bit-identical; ops/select.range_medians_adc)
             det = detect_boundaries_with_fallback(
-                signals, in_lens, dcfg, cnn_params, adc=adc
+                signals, in_lens, dcfg, cnn_params, adc=adc,
+                resolve_limit=resolve_limit,
             )
-            return _pack(*_tail(signals, in_lens, det))
+            packed = _pack(*_tail(signals, in_lens, det))
+            if resolve_limit:
+                return packed, det.resolved
+            return packed
 
         def step(*args):
             if input_format == "vbz":
@@ -551,3 +587,114 @@ def make_demux_step(
         return pack_w(*_tail(signals, in_lens, det))
 
     return step
+
+
+class TwoStageHandle(NamedTuple):
+    """Device-side state after stage 1 of the two-stage wire feed."""
+
+    adc1: jnp.ndarray  # (B, stage1_len) int16 decoded stage-1 prefix
+    offset: jnp.ndarray
+    scale: jnp.ndarray
+    in_lens: jnp.ndarray
+    out1: DecisionStepOutput
+    resolved: jnp.ndarray  # (B,) bool
+
+
+def make_twostage_decision_step(model, spc: SigProcConfig, stage1_len=7168):
+    """Two-stage adaptive preload for the decision lane (wire thinning).
+
+    The reference ships core.max_obs_trace = 10,000 samples per read
+    (file_proc.py:227-279, README.md:489-497) because its detect runs once
+    per preload; on a bandwidth-limited host->device link those bytes ARE
+    the throughput ceiling. Here stage 1 ships only the first `stage1_len`
+    samples (VBZ inner layout, ~8.2 KB/read instead of ~11.5 KB), runs the
+    FULL decision chain over the last-value-padded prefix with the true
+    in_lens, and emits a per-read `resolved` bit that is True only where
+    the decision provably equals the full-preload decision
+    (detect_boundaries_batch resolve_limit — whole-prefix reads are
+    bit-identical program inputs; longer reads qualify only when every
+    consulted window sits inside the prefix). Unresolved rows get their
+    tail bytes (the untouched remainder of the same delta stream,
+    ~1.2 KB/read typical) shipped and re-run through the standard
+    full-width chain; decisions merge row-wise. Equality with the
+    one-stage path is pinned bit-for-bit by tests/test_twostage.py on the
+    bench population and the real fixture reads.
+
+    Returns (stage1, stage2):
+      stage1(keys1, data1, offset, scale, in_lens) -> TwoStageHandle
+        with keys1 (B, stage1_len/8) u8 and data1 (B, D1) u8 from
+        ops/vbz_device.split_wire_host.
+      stage2(handle, rows, keys_t, data_t) -> DecisionStepOutput
+        with the padded tail arrays from ops/vbz_device.pack_tails_host
+        (rows sentinel B is dropped on device). Skip stage2 when
+        handle.resolved is all-True and use handle.out1 directly.
+    """
+    from warpdemux_tpu.ops.vbz_device import vbz_decode_batch
+
+    dcfg = spc.detect
+    L = dcfg.max_obs_trace
+    L1 = int(stage1_len)
+    if not (0 < L1 < L) or L1 % 8:
+        raise ValueError(f"stage1_len must be in (0, {L}) and 8-aligned")
+    if dcfg.method == "cnn" and not (0 < dcfg.cnn_input_cap <= L1):
+        raise ValueError(
+            "two-stage needs a prefix-causal CNN: set "
+            f"cnn_boundaries.input_cap <= {L1} (got {dcfg.cnn_input_cap})"
+        )
+
+    step1_chain = make_demux_step(
+        model, spc, input_format="adc", outputs="decision", resolve_limit=L1
+    )
+    step2_chain = make_demux_step(
+        model, spc, input_format="adc", outputs="decision"
+    )
+
+    decode1 = jax.jit(
+        lambda k, d: vbz_decode_batch(k, d, L1).astype(jnp.int16)
+    )
+
+    @jax.jit
+    def _assemble(adc1, rows, keys_t, data_t):
+        # tail deltas continue the stage-1 stream: absolute ADC = stage-1
+        # row's last sample + cumsum of the tail deltas (exact ints)
+        tail_rel = vbz_decode_batch(keys_t, data_t, L - L1)
+        B = adc1.shape[0]
+        safe_rows = jnp.minimum(rows, B - 1)
+        base = jnp.take(adc1[:, -1], safe_rows).astype(jnp.int32)
+        tail = (tail_rel + base[:, None]).astype(jnp.int16)
+        full = jnp.concatenate(
+            [adc1, jnp.broadcast_to(adc1[:, -1:], (B, L - L1))], axis=1
+        )
+        return full.at[rows, L1:].set(tail, mode="drop")
+
+    @jax.jit
+    def _merge(resolved, o1, o2):
+        def sel(a, b):
+            cond = resolved.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(cond, a, b)
+
+        return DecisionStepOutput(*[sel(a, b) for a, b in zip(o1, o2)])
+
+    def stage1(keys1, data1, offset, scale, in_lens) -> TwoStageHandle:
+        adc1 = decode1(
+            jnp.asarray(keys1, jnp.uint8), jnp.asarray(data1, jnp.uint8)
+        )
+        offset = jnp.asarray(offset, jnp.float32)
+        scale = jnp.asarray(scale, jnp.float32)
+        in_lens = jnp.asarray(in_lens, jnp.int32)
+        out1, resolved = step1_chain(adc1, offset, scale, in_lens)
+        return TwoStageHandle(adc1, offset, scale, in_lens, out1, resolved)
+
+    def stage2(handle: TwoStageHandle, rows, keys_t, data_t):
+        adc_full = _assemble(
+            handle.adc1,
+            jnp.asarray(rows, jnp.int32),
+            jnp.asarray(keys_t, jnp.uint8),
+            jnp.asarray(data_t, jnp.uint8),
+        )
+        out2 = step2_chain(
+            adc_full, handle.offset, handle.scale, handle.in_lens
+        )
+        return _merge(handle.resolved, handle.out1, out2)
+
+    return stage1, stage2
