@@ -1,21 +1,23 @@
 """End-to-end demux throughput benchmark (one JSON line on stdout).
 
 Measures the full per-minibatch path on the default backend (the real TPU
-chip under the driver): pod5-native VBZ-wire minibatches are transferred
-to the device by uploader threads (overlapping compute, exactly like
-pipeline/run.py), decoded + calibrated on device, then detect ->
-fingerprint -> DTW (Pallas) -> SVM -> predictions fetched to host.
-Synthetic RNA004-style squiggles with known structure stand in for pod5
-decode (host-side, cheap, and overlapped by the producer in production
-runs); their pass/fail population is pinned by
-tests/test_bench_population.py.
+chip under the driver) for the production predictions-only run: the
+TWO-STAGE wire feed (pipeline/step.py make_twostage_decision_step) ships
+each read's first 7168 samples (VBZ inner layout), decodes + decides on
+device, fetches the per-read resolved bits, and ships tail bytes only for
+the reads whose decision provably needed them — decisions bit-identical
+to the 10k-preload path (tests/test_twostage.py). Synthetic RNA004-style
+squiggles with known structure stand in for pod5 decode (host-side,
+cheap, and overlapped by the producer in production runs); their
+pass/fail population is pinned by tests/test_bench_population.py.
 
-The headline is the best transfer-fed sustained window of minibatch
-completions, and every upload is landing-confirmed and timestamped so the
-link ceiling is computed from the bytes that landed INSIDE that same
-window — under shared-link congestion the value and its ceiling move
-together, and `pct_of_ceiling` (stderr) reports how close the pipeline
-runs to the link, whatever the link is doing that minute.
+The headline is the best steady window of minibatch completions, charged
+for every byte that fed it: each batch's uploads are landing-confirmed
+and index-paired to its completion, the window clock starts at
+min(previous completion, first feeding landing) — carry-in bytes staged
+before the window opened are charged to it — and the same-window link
+ceiling uses the last feeding landing, so pct_of_ceiling <= 1.0 holds BY
+CONSTRUCTION (a completion cannot precede its own last upload).
 
 Baseline: the reference demuxes ~100k reads in 2-3 min on 8 CPU cores
 (~700 reads/s mid-range; README.md:375, BASELINE.md).
@@ -33,6 +35,7 @@ BASELINE_READS_PER_S = 700.0
 MODEL = "WDX4_rna004_v1_0"
 B = 1000  # minibatch size (reference default)
 L = 10000  # preload size
+STAGE1_LEN = 7168  # two-stage wire: stage-1 prefix samples per read
 WARM_BATCHES = 1
 TIMED_BATCHES = 24
 WINDOW = 12  # sustained-window width (batches) for the headline rate
@@ -96,151 +99,199 @@ def main():
     from warpdemux_tpu.models.registry import load_model
     from warpdemux_tpu.pipeline.step import make_demux_step
 
+    import jax.numpy as jnp
+
+    from warpdemux_tpu.ops.vbz_device import pack_tails_host, split_wire_host
+    from warpdemux_tpu.pipeline.step import make_twostage_decision_step
+
     rng = np.random.default_rng(0)
     model = load_model(MODEL)
     spc = get_model_spc_config(MODEL)
     step = make_demux_step(model, spc, input_format="vbz")
+    stage1, stage2 = make_twostage_decision_step(model, spc, STAGE1_LEN)
 
+    # full-wire batches + their stage-1 splits (the split is two array
+    # slices + a popcount — production does it in the pod5 producer
+    # thread, overlapped like the zstd decode it follows)
     batches = [
         synth_minibatch_vbz(rng, B, L)
         for _ in range(WARM_BATCHES + TIMED_BATCHES)
     ]
-
-    # warmup / compile (also transfers the first batch)
-    for batch in batches[:WARM_BATCHES]:
-        res = step(*batch)
-        np.asarray(res.pred)
-
-    import jax.numpy as jnp
+    splits = [
+        split_wire_host(keys, data, lens, STAGE1_LEN)
+        for keys, data, _, _, lens in batches
+    ]
 
     touch = jax.jit(
         lambda k, d: jnp.sum(k.astype(jnp.int32))
         + jnp.sum(d.astype(jnp.int32))
     )
-    int(touch(*[jax.device_put(a) for a in batches[0][:2]]))  # warm/compile
 
-    # Uploader threads device_put batches ahead of the compute loop — the
-    # same overlap structure as pipeline/run.py's preloader. Each upload is
-    # LANDING-CONFIRMED by a tiny jitted reduction over the transferred
-    # buffers (on this remote-attached device `block_until_ready` on a
-    # device_put signals local staging, not arrival) and timestamped, so
-    # the link bandwidth actually achieved DURING the timed loop is known.
-    # The headline rate is the best sustained WINDOW of minibatch
-    # completions, and the link ceiling it is compared against is computed
-    # from the upload bytes that landed inside that same window — both
-    # numbers move together under shared-link congestion.
-    def timed_pass(depth=3, n_uploaders=3):
+    # warmup / compile both stages + the tail path
+    for batch, (keys1, data1, off1) in zip(
+        batches[:WARM_BATCHES], splits[:WARM_BATCHES]
+    ):
+        keys, data, offset, scale, lens = batch
+        h = stage1(keys1, data1, offset, scale, lens)
+        resolved = np.asarray(h.resolved)
+        rows = np.where(~resolved)[0]
+        if rows.size:
+            rows_p, keys_t, data_t = pack_tails_host(
+                keys, data, lens, off1, rows, STAGE1_LEN, L
+            )
+            out = stage2(h, rows_p, keys_t, data_t)
+        else:
+            out = h.out1
+        np.asarray(out.pred)
+    int(touch(*[jax.device_put(a) for a in splits[0][:2]]))  # warm/compile
+
+    # Pipelined two-stage loop. Uploader threads device_put stage-1 wire
+    # ahead of the dispatch loop (same overlap as pipeline/run.py); every
+    # upload is LANDING-CONFIRMED by a tiny jitted reduction (on this
+    # remote-attached device `block_until_ready` on a device_put signals
+    # local staging, not arrival) and timestamped. Resolver threads fetch
+    # each batch's resolved bits, pack + upload the unresolved tails,
+    # dispatch stage 2 and fetch the merged decisions; several run so one
+    # batch's resolve round trip overlaps another's compute/upload.
+    # Timestamps and byte counts are INDEX-PAIRED to the batch (first
+    # landing, last landing, completion), never matched by time order.
+    def timed_pass(depth=4, n_uploaders=3, n_resolvers=3):
         feed: queue.Queue = queue.Queue(maxsize=depth)
         up_q: queue.Queue = queue.Queue()
-        wire = []
-        for batch in batches[WARM_BATCHES:]:
-            up_q.put(batch)
-            wire.append(sum(np.asarray(a).nbytes for a in batch))
-        up_events: list = []  # (t_landed, bytes)
-        up_lock = threading.Lock()
+        for k in range(TIMED_BATCHES):
+            up_q.put(k)
+        nb = TIMED_BATCHES
+        first_land = [0.0] * nb
+        last_land = [0.0] * nb
+        bytes_fed = [0] * nb
+        done_t = [0.0] * nb
+        done_pass = [0] * nb
+        stage2_reads = [0] * nb
 
         def producer():
             while True:
                 try:
-                    batch = up_q.get_nowait()
+                    k = up_q.get_nowait()
                 except queue.Empty:
                     feed.put(None)
                     return
-                nbytes = sum(np.asarray(a).nbytes for a in batch)
-                dev = tuple(jax.device_put(a) for a in batch)
-                int(touch(dev[0], dev[1]))  # forces + confirms the landing
-                with up_lock:
-                    up_events.append((time.time(), nbytes))
-                feed.put(dev)
-
-        # fetches run on their own threads (as in pipeline/run.py): an
-        # inline device_get costs a tunnel round trip per minibatch that
-        # would bubble the dispatch loop even with results in flight, and
-        # under heavy congestion a SINGLE fetcher serializes inflated
-        # round trips, dragging completion timestamps behind the uploads
-        # they were fed by (observed as pct_of_ceiling 0.85 at 7 MB/s)
-        results: queue.Queue = queue.Queue(maxsize=depth)
-        done: list = []  # (t_completed, n_pass) per minibatch
-        done_lock = threading.Lock()
-
-        def fetcher():
-            while True:
-                r = results.get()
-                if r is None:
-                    return
-                _pred, _conf, success = jax.device_get(
-                    (r.pred, r.conf, r.success)
+                keys1, data1, _ = splits[WARM_BATCHES + k]
+                _, _, offset, scale, lens = batches[WARM_BATCHES + k]
+                nbytes = (
+                    keys1.nbytes + data1.nbytes + offset.nbytes
+                    + scale.nbytes + lens.nbytes
                 )
-                with done_lock:
-                    done.append((time.time(), int(success.sum())))
+                dev = tuple(
+                    jax.device_put(a)
+                    for a in (keys1, data1, offset, scale, lens)
+                )
+                int(touch(dev[0], dev[1]))  # forces + confirms the landing
+                now = time.time()
+                first_land[k] = now
+                last_land[k] = now
+                bytes_fed[k] = nbytes
+                feed.put((k, dev))
+
+        handles: queue.Queue = queue.Queue()
+
+        def resolver():
+            while True:
+                item = handles.get()
+                if item is None:
+                    return
+                k, h = item
+                resolved = np.asarray(jax.device_get(h.resolved))
+                rows = np.where(~resolved)[0]
+                if rows.size:
+                    keys, data, _, _, lens = batches[WARM_BATCHES + k]
+                    off1 = splits[WARM_BATCHES + k][2]
+                    rows_p, keys_t, data_t = pack_tails_host(
+                        keys, data, lens, off1, rows, STAGE1_LEN, L
+                    )
+                    tb = rows_p.nbytes + keys_t.nbytes + data_t.nbytes
+                    dev_t = tuple(
+                        jax.device_put(a) for a in (rows_p, keys_t, data_t)
+                    )
+                    int(touch(dev_t[1], dev_t[2]))
+                    last_land[k] = time.time()
+                    bytes_fed[k] += tb
+                    out = stage2(h, *dev_t)
+                else:
+                    out = h.out1
+                _pred, _conf, success = jax.device_get(
+                    (out.pred, out.conf, out.success)
+                )
+                done_t[k] = time.time()
+                done_pass[k] = int(success.sum())
+                stage2_reads[k] = int(rows.size)
 
         t0 = time.time()
         for _ in range(n_uploaders):
             threading.Thread(target=producer, daemon=True).start()
-        fths = [threading.Thread(target=fetcher) for _ in range(2)]
-        for fth in fths:
-            fth.start()
+        rths = [threading.Thread(target=resolver) for _ in range(n_resolvers)]
+        for rth in rths:
+            rth.start()
         ended = 0
         while ended < n_uploaders:
             item = feed.get()
             if item is None:
                 ended += 1
                 continue
-            results.put(step(*item))
-        for _ in fths:
-            results.put(None)
-        for fth in fths:
-            fth.join()
-        done.sort()
-        return time.time() - t0, done, up_events
+            k, dev = item
+            handles.put((k, stage1(*dev)))
+        for _ in rths:
+            handles.put(None)
+        for rth in rths:
+            rth.join()
+        return (
+            time.time() - t0,
+            first_land,
+            last_land,
+            bytes_fed,
+            done_t,
+            done_pass,
+            stage2_reads,
+        )
 
-    dt_all, done, up_events = timed_pass()
-    n_pass = sum(n for _, n in done)
-
-    # best sustained window: max rate over any WINDOW consecutive
-    # minibatch completions, skipping the pipeline ramp (first completion)
-    # and requiring the window to be transfer-fed (>= WINDOW-1 uploads
-    # landed inside it) so the end-of-run drain of already-resident
-    # batches — which runs at device-compute speed — cannot pose as
-    # end-to-end throughput
-    ts = [t for t, _ in done]
-    up_ts = sorted(t for t, _ in up_events)
-    # minibatches complete in dispatch = upload order, so upload k feeds
-    # completion k; delay[k] is that batch's queueing+compute+fetch lag.
-    # A window is STEADY only if its backlog is not draining (delay not
-    # shrinking): otherwise batches that were uploaded during an earlier,
-    # faster-link stretch complete in a burst at device-compute speed and
-    # would pose as end-to-end throughput.
-    delays = [ts[k] - up_ts[k] for k in range(len(ts))]
-    cands = []  # (rate, lo, hi, up_span) over steady windows
-    for i in range(1, len(ts) - WINDOW):
-        lo, hi = ts[i], ts[i + WINDOW]
-        if delays[i + WINDOW] - delays[i] < -0.05 * (hi - lo):
-            continue
-        rate = WINDOW * B / (hi - lo)
-        # the link ceiling over this same stretch of the run is the
-        # landing rate of the matching uploads
-        cands.append((rate, lo, hi, up_ts[i + WINDOW] - up_ts[i]))
-    # among steady windows, prefer link-verified ones (completions within
-    # [0.9, 1.05] of their own uploads' landing rate): a congested-link
-    # RTT spike can stall one fetch inside the otherwise-fastest window,
-    # decoupling its completion span from its upload span — another
-    # steady window without the stall is the honest sustained sample
-    verified = [
-        c for c in cands if 0.9 <= c[0] * c[3] / (WINDOW * B) <= 1.05
-    ]
-    pool = verified or cands
-    best = max(pool, key=lambda c: c[0]) if pool else (
-        # degenerate run: fall back to the whole pass
-        TIMED_BATCHES * B / dt_all,
-        ts[0],
-        ts[-1],
-        up_ts[-1] - up_ts[0],
+    dt_all, first_land, last_land, bytes_fed, done_t, done_pass, s2r = (
+        timed_pass()
     )
-    best_rate, best_lo, best_hi, up_span = best
-    wire_per_read = sum(nb for _, nb in up_events) / (TIMED_BATCHES * B)
-    link_inloop_mbps = WINDOW * B * wire_per_read / up_span / 1e6
-    ceiling_rps = WINDOW * B / up_span
+    n_pass = sum(done_pass)
+    n_stage2 = sum(s2r)
+
+    # Best steady window over completions in TIME order, each batch
+    # carrying its own index-paired landings. The window clock starts at
+    # min(previous completion, first feeding landing) — bytes staged
+    # before the window opened are charged to it — and the ceiling uses
+    # the last feeding landing, so rate <= ceiling by construction.
+    order = sorted(range(TIMED_BATCHES), key=lambda k: done_t[k])
+    ts = [done_t[k] for k in order]
+    # steadiness: a window whose completion-vs-landing backlog is
+    # shrinking is draining previously staged batches at device-compute
+    # speed; skip it (the carry-in charge already bounds pct at 1.0, the
+    # steadiness filter keeps the headline a SUSTAINED rate)
+    delays = [done_t[k] - last_land[k] for k in order]
+    cands = []  # (rate, ceiling, window_bytes)
+    for i in range(1, len(ts) - WINDOW):
+        win = order[i + 1 : i + WINDOW + 1]
+        hi = ts[i + WINDOW]
+        if delays[i + WINDOW] - delays[i] < -0.05 * (hi - ts[i]):
+            continue
+        start = min(ts[i], min(first_land[k] for k in win))
+        u_last = max(last_land[k] for k in win)
+        rate = WINDOW * B / (hi - start)
+        ceiling = WINDOW * B / max(u_last - start, 1e-9)
+        cands.append((rate, ceiling, sum(bytes_fed[k] for k in win)))
+    if cands:
+        best_rate, ceiling_rps, win_bytes = max(cands, key=lambda c: c[0])
+    else:  # degenerate run: fall back to the whole pass
+        best_rate = TIMED_BATCHES * B / dt_all
+        ceiling_rps = TIMED_BATCHES * B / max(
+            max(last_land) - min(first_land), 1e-9
+        )
+        win_bytes = sum(bytes_fed)
+    wire_per_read = sum(bytes_fed) / (TIMED_BATCHES * B)
+    link_inloop_mbps = ceiling_rps * (win_bytes / (WINDOW * B)) / 1e6
     pct_of_ceiling = best_rate / ceiling_rps if ceiling_rps else 0.0
 
     # compute-only reference point: device-resident int16 ADC batches
@@ -402,7 +453,8 @@ def main():
     )
     print(
         f"# backend={jax.default_backend()} batches={TIMED_BATCHES} B={B} "
-        f"window={WINDOW} pass={n_pass}/{total} whole_pass="
+        f"window={WINDOW} two-stage(L1={STAGE1_LEN}) pass={n_pass}/{total} "
+        f"stage2_reads={n_stage2} ({n_stage2 / total:.0%}) whole_pass="
         f"{total / dt_all:.0f} reads/s "
         f"in-loop link={link_inloop_mbps:.0f} MB/s -> same-window ceiling "
         f"~{ceiling_rps:.0f} reads/s pct_of_ceiling={pct_of_ceiling:.2f} "
@@ -411,7 +463,9 @@ def main():
         f"decision_lane={decision_rps:.0f} reads/s "
         f"(= {decision_rps / BASELINE_READS_PER_S:.1f}x) "
         + (f"pod5_e2e={pod5_rps:.0f} reads/s " if pod5_rps else "")
-        + f"probe_link={link_mbps:.0f} MB/s wire={wire_per_read:.0f} B/read",
+        + f"probe_link={link_mbps:.0f} MB/s "
+        f"wire={wire_per_read:.0f} B/read effective "
+        f"(vs ~11500 full-preload)",
         file=sys.stderr,
     )
 

@@ -202,3 +202,46 @@ def test_twostage_decisions_bit_identical_real_reads(steps):
     # to stay bit-identical, so resolution here is much lower than on the
     # bench population (0.75). Measured 0.19 at stage1_len=7168.
     assert n_res / n_tot >= 0.15, f"resolved {n_res}/{n_tot}"
+
+
+@pytest.mark.skipif(not FIXTURES, reason="reference pod5 fixtures absent")
+def test_cli_twostage_matches_onestage(tmp_path):
+    """The production CLI path (predictions-only demux defaults to the
+    two-stage wire) produces byte-identical predictions and fail taxonomy
+    to a --stage1_preload 0 run."""
+    import glob
+
+    import pandas as pd
+
+    from warpdemux_tpu.cli import main
+
+    outs = {}
+    for name, extra in (
+        ("two", []),
+        ("one", ["--stage1_preload", "0"]),
+    ):
+        out = tmp_path / name
+        rc = main(
+            [
+                "demux", "-i", str(FIXTURES[0]), "-o", str(out),
+                "-m", MODEL, "-b", "64", "--no-create_subdir", *extra,
+            ]
+        )
+        assert rc in (0, None)
+        preds = pd.concat(
+            [
+                pd.read_csv(f)
+                for f in sorted(glob.glob(str(out / "predictions" / "*.csv.gz")))
+            ],
+            ignore_index=True,
+        ).sort_values("#read_id").reset_index(drop=True)
+        fails = pd.concat(
+            [
+                pd.read_csv(f)
+                for f in sorted(glob.glob(str(out / "failed_reads" / "*.csv.gz")))
+            ],
+            ignore_index=True,
+        ).sort_values("read_id").reset_index(drop=True)
+        outs[name] = (preds, fails)
+    pd.testing.assert_frame_equal(outs["two"][0], outs["one"][0])
+    pd.testing.assert_frame_equal(outs["two"][1], outs["one"][1])

@@ -68,6 +68,11 @@ def _add_common(p):
     p.add_argument("--wire", choices=("vbz", "adc"), default="vbz",
                    help="host->device wire: compressed VBZ inner layout "
                         "(thin links) or raw int16 ADC (local accelerators)")
+    p.add_argument("--stage1_preload", type=int, default=7168,
+                   help="two-stage wire: stage-1 prefix samples per read "
+                        "for predictions-only vbz runs (tails shipped only "
+                        "for reads whose decision provably needs them; "
+                        "decisions bit-identical). 0 disables")
     p.add_argument("-j", "--devices", type=int, default=1,
                    help="devices to shard each minibatch over "
                         "(0 = all local devices; the reference's -j "
@@ -227,6 +232,7 @@ def _run_batch_command(args, command: str, read_ids_excl=None, run_dir=None,
             bidx_predict=bidx[2],
             devices=getattr(args, "devices", 1),
             wire=getattr(args, "wire", "vbz"),
+            stage1_preload=getattr(args, "stage1_preload", 7168),
         ),
         task=TaskConfig(command=command, preprocess=True, predict=do_predict),
         classif=ClassifConfig(model_name=args.model_name),
@@ -335,6 +341,7 @@ def _cmd_continue(args):
         create_subdir=False,
         devices=manifest["batch"].get("devices", 1),
         wire=manifest["batch"].get("wire", "vbz"),
+        stage1_preload=manifest["batch"].get("stage1_preload", 7168),
     )
     return _run_batch_command(
         ns,

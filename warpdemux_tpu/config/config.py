@@ -71,6 +71,12 @@ class BatchConfig:
     # "adc" ships raw int16 counts (20 KB/read, zero device decode — wins
     # on locally attached accelerators).
     wire: str = "vbz"
+    # two-stage adaptive preload for predictions-only vbz runs: ship only
+    # the first stage1_preload samples per read, re-ship tails solely for
+    # reads whose decision provably needs them (bit-identical decisions;
+    # pipeline/step.py make_twostage_decision_step). 0 disables. Applied
+    # when the run uses the decision lane on a single device.
+    stage1_preload: int = 7168
 
 
 @dataclass

@@ -186,10 +186,6 @@ def run_demux(config: Config, model=None) -> RunStats:
     # TPU analog of the reference's predict-only worker that skips
     # boundary/fpt output entirely (file_proc.py:457-497).
     outputs_mode = select_outputs_mode(config)
-    step = make_demux_step(
-        model, spc, with_predict=do_predict, input_format=wire, mesh=mesh,
-        outputs=outputs_mode,
-    )
 
     B = config.batch.minibatch_size
     if mesh is not None and B % n_dev:
@@ -199,6 +195,46 @@ def run_demux(config: Config, model=None) -> RunStats:
             B, n_dev,
         )
     L = spc.sig_preload_size
+
+    # Two-stage adaptive preload (pipeline/step.py): predictions-only vbz
+    # runs ship each read's first stage1_preload samples and re-ship tails
+    # only where the decision provably needs them — decisions bit-identical
+    # to the full preload (tests/test_twostage.py). start_peak resolves
+    # whole reads only (its boundaries read up to in_len), so two-stage
+    # would re-ship nearly every tail there; keep the one-shot wire.
+    S1 = int(config.batch.stage1_preload or 0)
+    two_stage = bool(
+        S1
+        and 0 < S1 < L
+        and S1 % 8 == 0
+        and outputs_mode == "decision"
+        and wire == "vbz"
+        and mesh is None
+        and do_predict
+        and spc.detect.method in ("cnn", "llr")
+        and not spc.detect.detect_med_shift
+        and (
+            spc.detect.method != "cnn"
+            or 0 < spc.detect.cnn_input_cap <= S1
+        )
+    )
+    if two_stage:
+        from warpdemux_tpu.ops.vbz_device import (
+            pack_tails_host,
+            split_wire_host,
+        )
+        from warpdemux_tpu.pipeline.step import make_twostage_decision_step
+
+        stage1_fn, stage2_fn = make_twostage_decision_step(model, spc, S1)
+        step = None
+        logging.info(
+            "two-stage wire: stage-1 preload %d of %d samples", S1, L
+        )
+    else:
+        step = make_demux_step(
+            model, spc, with_predict=do_predict, input_format=wire,
+            mesh=mesh, outputs=outputs_mode,
+        )
 
     feed: queue.Queue = queue.Queue(maxsize=4)
 
@@ -245,8 +281,19 @@ def run_demux(config: Config, model=None) -> RunStats:
                 n = arrays[0].shape[0]
                 if n < B:
                     arrays = [pad_rows(a, B - n) for a in arrays]
-                dev = tuple(put(a) for a in arrays)
-                feed.put((dev, n, full_lens, read_ids))
+                if two_stage:
+                    keys, data, offset, scale, lens = arrays
+                    keys1, data1, off1 = split_wire_host(
+                        keys, data, lens, S1
+                    )
+                    dev = tuple(
+                        put(a) for a in (keys1, data1, offset, scale, lens)
+                    )
+                    host_wire = (keys, data, lens, off1)
+                else:
+                    dev = tuple(put(a) for a in arrays)
+                    host_wire = None
+                feed.put((dev, host_wire, n, full_lens, read_ids))
         except Exception:
             logging.exception("pod5 producer failed; stopping feed")
         finally:
@@ -448,10 +495,24 @@ def run_demux(config: Config, model=None) -> RunStats:
             item = results.get()
             if item is None:
                 return
-            res, n, full_lens, read_ids, in_lens = item
+            res, host_wire, n, full_lens, read_ids, in_lens = item
             try:
                 if res is None:
                     raise RuntimeError("minibatch dispatch failed")
+                if two_stage:
+                    # res is a TwoStageHandle: fetch the resolved bits,
+                    # ship + run the unresolved tails, merge on device
+                    h = res
+                    resolved = np.asarray(jax.device_get(h.resolved))
+                    rows = np.where(~resolved[:n])[0]
+                    if rows.size:
+                        keys, data, lens, off1 = host_wire
+                        rows_p, keys_t, data_t = pack_tails_host(
+                            keys, data, lens, off1, rows, S1, L
+                        )
+                        res = stage2_fn(h, rows_p, keys_t, data_t)
+                    else:
+                        res = h.out1
                 res = jax.device_get(res)
                 if isinstance(res, PackedStepOutput):
                     postprocess(res.unpack(), n, full_lens, read_ids, in_lens)
@@ -474,10 +535,10 @@ def run_demux(config: Config, model=None) -> RunStats:
         item = feed.get()
         if item is None:
             break
-        dev, n, full_lens, read_ids = item
+        dev, host_wire, n, full_lens, read_ids = item
         in_lens = dev[-1]
         try:
-            res = step(*dev)
+            res = stage1_fn(*dev) if two_stage else step(*dev)
         except Exception:
             logging.exception(
                 "minibatch dispatch failed (%d reads dropped): %s...",
@@ -485,7 +546,7 @@ def run_demux(config: Config, model=None) -> RunStats:
                 read_ids[0] if len(read_ids) else "-",
             )
             res = None  # accounted on the postproc thread
-        results.put((res, n, full_lens, read_ids, in_lens))
+        results.put((res, host_wire, n, full_lens, read_ids, in_lens))
     results.put(None)
     pp_thread.join()
 
