@@ -81,8 +81,15 @@ def inner_layout_from_adc(sig: np.ndarray) -> bytes:
 # key bits gives the data-stream offset of any sample prefix in O(klen))
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
-_D1_LADDER = (7168, 7680, 8192, 8704, 9216, 10240, 12288, 14336)
-_DT_LADDER = (2048, 2560, 3072, 3584, 4096, 5120, 5888)
+# fine 128-byte rungs near the observed sizes (measured stage-1 off1 max:
+# ~7240 synthetic, ~7420 real at stage1_len=7168 — wide-sample rate ~1-3%),
+# coarser above; each rung is one compile variant of the (tiny) decode
+# program only, the fused chain is fixed-shape
+_D1_LADDER = (
+    7168, 7296, 7424, 7552, 7680, 7936, 8192, 8704, 9216, 10240, 12288,
+    14336,
+)
+_DT_LADDER = (2048, 2560, 2816, 2944, 3072, 3584, 4096, 5120, 5888)
 _ROW_LADDER = (64, 128, 256, 512)
 
 
