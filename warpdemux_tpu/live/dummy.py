@@ -53,10 +53,16 @@ def synth_barcoded_read(
     rna_len: int = 15000,
     level: float = 78.0,
     spread: float = 8.0,
+    noise: float = 1.2,
 ):
     """Synthetic read whose adapter's last-25-event fingerprint approximates
-    a given (normalized) support-vector fingerprint, so the classifier
-    produces a confident barcode call on replay."""
+    a given (normalized) fingerprint, so the classifier produces a
+    confident barcode call on replay.
+
+    `noise` is the within-event pore noise sigma in pA; the real fixture
+    reads measure 1.76-1.91 pA (MAD of adapter first differences,
+    tests/test_demux_accuracy_e2e.py), the 1.2 default predates that
+    measurement and is kept for the existing replay fixtures."""
     k = len(sv_fpt)
     ev = rng.normal(level, spread, size=num_events)
     ev[-k:] = level + spread * np.asarray(sv_fpt)
@@ -70,7 +76,7 @@ def synth_barcoded_read(
         )[:rna_len],
     ]
     sig = np.concatenate(parts).astype(np.float32)
-    sig += rng.normal(0, 1.2, sig.size).astype(np.float32)
+    sig += rng.normal(0, noise, sig.size).astype(np.float32)
     return sig
 
 
