@@ -110,6 +110,38 @@ def trna_barcode_patterns(n_barcodes=4, n_events=30, seed=77):
     )
 
 
+# Adapter statistics measured on the 800 real RNA004 fixture reads'
+# detected adapters (tools/validate_boundaries.py detections; estimated
+# 2026-08-21, see STATUS r5): per-event dwell is heavy-tailed
+# log-normal (median 24 samples, p5/p95 = 6/107 -> sigma_ln ~ 0.91);
+# per-read adapter level ~ N(74.1, 4.0) pA; per-event spread (MAD)
+# ~ N(9.2, 1.6) pA; within-event pore noise ~ N(1.84, 0.18) pA.
+REAL_ADAPTER_STATS = dict(
+    dwell_ln_mu=3.18,
+    dwell_ln_sigma=0.91,
+    dwell_clip=(4, 200),
+    level_mean=74.1,
+    level_sd=4.0,
+    spread_mean=9.2,
+    spread_sd=1.6,
+    noise_mean=1.84,
+    noise_sd=0.18,
+)
+
+
+def real_dwell_sampler(stats=None):
+    """Per-event dwell sampler fitted to the real adapter dwell
+    distribution (log-normal; REAL_ADAPTER_STATS). Pass as the `dwell`
+    argument of synth_trna_barcoded_read."""
+    s = stats or REAL_ADAPTER_STATS
+
+    def draw(rng):
+        d = int(round(np.exp(rng.normal(s["dwell_ln_mu"], s["dwell_ln_sigma"]))))
+        return int(np.clip(d, *s["dwell_clip"]))
+
+    return draw
+
+
 def synth_trna_barcoded_read(
     rng,
     barcode_z,
@@ -135,9 +167,13 @@ def synth_trna_barcoded_read(
 
     cons = np.asarray(CONSENSUS["rna004_130bps_v1_0"], np.float64)
 
+    draw_dwell = dwell if callable(dwell) else (
+        lambda r: int(r.integers(*dwell))
+    )
+
     def render(z_events):
         segs = [
-            np.full(rng.integers(*dwell), adapter_mean + adapter_sd * z)
+            np.full(draw_dwell(rng), adapter_mean + adapter_sd * z)
             for z in z_events
         ]
         return np.concatenate(segs)
