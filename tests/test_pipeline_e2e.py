@@ -144,18 +144,30 @@ def test_adc_wire_matches_vbz_wire(tmp_path):
 
 
 def test_predictions_only_run_uses_decision_lane(tmp_path, monkeypatch):
-    """VERDICT r2 #2: a predictions-only demux run must build the
-    outputs="decision" step (pred/conf/probs/fail only cross the link,
-    ~13+4k B/read) while boundary- or fingerprint-requesting runs keep the
-    full step. Asserted via the step-output type actually dispatched."""
+    """VERDICT r2 #2 (+ r5 two-stage): a predictions-only demux run must
+    take the decision lane — now the TWO-STAGE wire feed (stage-1 prefix +
+    tails only where provably needed; pipeline/step.py) — while boundary-
+    or fingerprint-requesting runs keep the full step. Asserted via the
+    step constructors actually invoked and the step-output type."""
     import warpdemux_tpu.pipeline.run as run_mod
+    import warpdemux_tpu.pipeline.step as step_mod
     from warpdemux_tpu.pipeline.step import (
-        DecisionStepOutput,
         PackedStepOutput,
         make_demux_step,
+        make_twostage_decision_step,
     )
 
     seen = {}
+    real_two = make_twostage_decision_step
+
+    def spy_two(*args, **kwargs):
+        seen["two_stage"] = True
+        return real_two(*args, **kwargs)
+
+    monkeypatch.setattr(
+        step_mod, "make_twostage_decision_step", spy_two
+    )
+
     real = make_demux_step
 
     def spy(*args, **kwargs):
@@ -173,8 +185,8 @@ def test_predictions_only_run_uses_decision_lane(tmp_path, monkeypatch):
 
     out = tmp_path / "decision"
     _cli("demux", "-i", POD5, "-o", str(out), *COMMON)
-    assert seen["outputs"] == "decision"
-    assert seen["type"] is DecisionStepOutput
+    assert seen.pop("two_stage", False), "decision run skipped two-stage"
+    assert "outputs" not in seen  # the full-step constructor never ran
     preds = _read_csvs(str(out / "predictions" / "*.csv.gz"))
     fails = _read_csvs(str(out / "failed_reads" / "*.csv.gz"))
     assert len(preds) + len(fails) == 200
@@ -184,6 +196,7 @@ def test_predictions_only_run_uses_decision_lane(tmp_path, monkeypatch):
     _cli("demux", "-i", POD5, "-o", str(out2), "--save_boundaries", *COMMON)
     assert seen["outputs"] == "full"
     assert seen["type"] is PackedStepOutput
+    assert "two_stage" not in seen
     # per-method result columns (VERDICT r2 #6, reference README.md:443-446):
     # cnn is the configured primary for RNA004 mRNA, llr the fallback
     bounds = _read_csvs(str(out2 / "boundaries" / "*.csv.gz"))
