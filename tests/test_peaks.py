@@ -128,9 +128,10 @@ def test_random_stress_vs_scipy():
 
 
 def test_select_top_peaks_two_stage_matches_single_stage():
-    """The segmented two-stage top-k must reproduce the single-stage
-    selection exactly, including tie order (later position first), on rows
-    long enough to trigger the segmented path."""
+    """The segmented two-stage top-k (non_adjacent=False: the exact path
+    for arbitrary masks, which may hold adjacent kept positions) must
+    reproduce the single-stage selection exactly, including tie order
+    (later position first), on rows long enough to trigger it."""
     import jax
     import jax.numpy as jnp
     from warpdemux_tpu.ops.peaks import select_top_peaks
@@ -144,7 +145,8 @@ def test_select_top_peaks_two_stage_matches_single_stage():
     assert (counts >= k).all()
 
     sel, ok = select_top_peaks(
-        jnp.asarray(scores, jnp.float32), jnp.asarray(keep), jnp.asarray(counts), k
+        jnp.asarray(scores, jnp.float32), jnp.asarray(keep),
+        jnp.asarray(counts), k, non_adjacent=False,
     )
     assert bool(ok.all())
 
@@ -232,10 +234,11 @@ def test_select_top_peaks_chunkmax_matches_single_stage():
     np.testing.assert_array_equal(np.asarray(sel), want)
 
 
-def test_select_top_peaks_collision_falls_back():
-    """One pair of kept peaks 2 apart inside a width-4 chunk must flip the
-    whole batch to the exact segmented path (the chunk-max candidate set
-    would drop one of them)."""
+def test_select_top_peaks_distance2_pair_survives():
+    """A pair of kept peaks 2 apart (the tightest spacing local maxima
+    allow) lands in different width-2 chunks, so the unconditional
+    chunk-max path keeps both — the case the old width-4 design needed a
+    data-driven segmented fallback for."""
     import jax.numpy as jnp
     from warpdemux_tpu.ops.peaks import select_top_peaks
 
@@ -306,3 +309,41 @@ def test_plateau_run_lengths_match_scipy():
         for p in range(L - 3)
     )
     check(y)
+
+
+def test_select_top_peaks_segmented_for_adjacent_masks():
+    """Arbitrary (non-local-maxima) masks CAN hold adjacent kept
+    positions; non_adjacent=False must route to the always-exact
+    segmented path and keep both members of an adjacent top-scoring
+    pair."""
+    import jax
+    import jax.numpy as jnp
+    from warpdemux_tpu.ops.peaks import select_top_peaks
+
+    rng = np.random.default_rng(23)
+    B, L, k = 4, 6200, 110
+    scores = rng.gamma(2.0, 2.0, (B, L))
+    keep = np.zeros((B, L), bool)
+    for b in range(B):
+        keep[b, np.arange(3, L - 3, 6)] = True
+    keep[0, [40, 41]] = True  # adjacent pair, impossible for find_peaks
+    scores[0, 40] = scores.max() + 2.0
+    scores[0, 41] = scores.max() + 1.0
+    counts = keep.sum(axis=1).astype(np.int32)
+    sel, ok = select_top_peaks(
+        jnp.asarray(scores, jnp.float32),
+        jnp.asarray(keep),
+        jnp.asarray(counts),
+        k,
+        non_adjacent=False,
+    )
+    assert bool(ok.all())
+    got = set(np.asarray(sel)[0].tolist())
+    assert {40, 41} <= got
+    # and the exact selection matches single-stage top_k on every row
+    mrev = jnp.where(
+        jnp.asarray(keep), jnp.asarray(scores, jnp.float32), -jnp.inf
+    )[:, ::-1]
+    _, idx = jax.lax.top_k(mrev, k)
+    want = (L - 1) - np.asarray(idx, np.int32)
+    np.testing.assert_array_equal(np.sort(np.asarray(sel)), np.sort(want))

@@ -213,18 +213,22 @@ def find_peaks_batch(
     return keep, jnp.sum(keep, axis=1).astype(jnp.int32)
 
 
-def _select_top_peaks_segmented(scores, keep_mask, num_events):
-    """Two-stage segmented top-k (the general path; see select_top_peaks)."""
-    B, L = scores.shape
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    mrev = jnp.where(keep_mask, scores, neg_inf)[:, ::-1]
+def _topk_rev_indices(mrev, num_events):
+    """Top-k indices into an already-reversed (masked) row.
 
+    Segmented two-stage when the row is long: per-segment top-ks then one
+    top-k over the nseg*k candidates — a TPU top_k lowers to a full
+    bitonic row sort whose cost grows ~log^2(width), so several short
+    sorts beat one long one. Tie order is top_k's lowest-index-first at
+    both stages, which on a reversed row means the LATER global position
+    (matching np.argsort tail selection).
+    """
+    B, L = mrev.shape
     nseg = 8
     seg = -(-L // nseg)
     if L < nseg * max(num_events, 128) or seg < num_events:
         _, idx = jax.lax.top_k(mrev, num_events)
-        return (L - 1) - idx.astype(jnp.int32)
-
+        return idx.astype(jnp.int32)
     pad = nseg * seg - L
     mrev_p = jnp.pad(mrev, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     segs = mrev_p.reshape(B * nseg, seg)
@@ -238,16 +242,23 @@ def _select_top_peaks_segmented(scores, keep_mask, num_events):
     # row gather on TPU); candidate indices < L << 2^24 are exact in f32
     from warpdemux_tpu.ops.window_gather import take_rows_auto
 
-    rev_idx = take_rows_auto(
+    return take_rows_auto(
         cand_i.astype(jnp.float32), i2
     ).astype(jnp.int32)
+
+
+def _select_top_peaks_segmented(scores, keep_mask, num_events):
+    """Two-stage segmented top-k (the general path; see select_top_peaks)."""
+    B, L = scores.shape
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    mrev = jnp.where(keep_mask, scores, neg_inf)[:, ::-1]
+    rev_idx = _topk_rev_indices(mrev, num_events)
     return (L - 1) - rev_idx
 
 
-def _select_top_peaks_chunkmax(scores, keep_mask, num_events):
-    """Width-4 chunk-max top-k (valid when no chunk holds 2 kept peaks)."""
+def _select_top_peaks_chunkmax(scores, keep_mask, num_events, C=4):
+    """Width-C chunk-max top-k (valid when no chunk holds 2 kept peaks)."""
     B, L = scores.shape
-    C = 4
     J = -(-L // C)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     m = jnp.where(keep_mask, scores, neg_inf)
@@ -262,8 +273,11 @@ def _select_top_peaks_chunkmax(scores, keep_mask, num_events):
         bestl = jnp.where(upd, lane, bestl)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, J), 1) * C + bestl
     # stage 2 on the reversed candidate row: lower index == later global
-    # position, so top_k's lowest-index tie break keeps argsort order
-    _, i2 = jax.lax.top_k(bestv[:, ::-1], num_events)
+    # position, so the lowest-index tie break keeps argsort order; the
+    # segmented top-k keeps the candidate-row sort short (a direct top_k
+    # over the C=2 row of L/2 was the single most expensive op of the
+    # decision step at 1.85 ms)
+    i2 = _topk_rev_indices(bestv[:, ::-1], num_events)
     from warpdemux_tpu.ops.window_gather import take_rows_auto
 
     return take_rows_auto(
@@ -276,6 +290,7 @@ def select_top_peaks(
     keep_mask: jnp.ndarray,
     peak_count: jnp.ndarray,
     num_events: int,
+    non_adjacent: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Keep the num_events highest-scoring peaks (reference sig_proc.py:185-188).
 
@@ -288,21 +303,23 @@ def select_top_peaks(
     key-value row sort on TPU; this was the #2 op of the whole demux step
     at L~6k):
 
-    * chunk-max fast path: keep_mask comes out of distance suppression of
-      local maxima, and local maxima are never adjacent (a peak needs a
-      fall after it, its successor a rise before it), so kept peaks sit
-      >= 2 apart — and at the production min_obs_per_base they sit >= 6
-      apart. Whenever no width-4 chunk holds two kept peaks (checked on
-      the data, not assumed), the per-chunk best kept peak is a lossless
-      candidate set of L/4 values, and one top_k over it replaces the
-      segmented sorts (~4x less sort work). Tie order is preserved: the
-      within-chunk reduction prefers the later lane, and stage 2 runs on
-      the reversed candidate row.
-    * segmented path (fallback, always exact): the global top-k is a
-      subset of the union of per-segment top-ks; sorting nseg segments of
-      L/nseg plus one candidate row of nseg*k is cheaper than one
-      length-L sort. The row is reversed *before* segmenting, so lower
-      candidate index == later global position at every stage.
+    * width-2 chunk-max (the production path): keep_mask comes out of
+      distance suppression of LOCAL MAXIMA, and local maxima are never
+      adjacent — a position needs a strict rise on one side and its
+      neighbor would need the opposite, and scipy-style plateau handling
+      marks only the plateau middle — so no width-2 chunk ever holds two
+      kept peaks, at ANY suppression distance (including the distance-1/2
+      rows produced by the per-read min_obs adaptation on short
+      extracts). The per-chunk best kept peak is therefore an
+      unconditionally lossless candidate set of L/2 values; one top_k
+      over it replaces the full-row sort (~2x less sort work) with no
+      data-dependent fallback (the previous width-4 + collision
+      lax.cond staged its (B, L) operands every call, ~0.9 ms/step).
+      Tie order is preserved: the within-chunk reduction prefers the
+      later lane, and stage 2 runs on the reversed candidate row.
+    * segmented path (`_select_top_peaks_segmented`, always exact for
+      arbitrary masks): kept for callers whose keep_mask does NOT come
+      from local-maxima detection — pass non_adjacent=False.
     """
     B, L = scores.shape
     ok = peak_count >= num_events
@@ -312,18 +329,8 @@ def select_top_peaks(
         _, idx = jax.lax.top_k(mrev, num_events)
         return (L - 1) - idx.astype(jnp.int32), ok
 
-    C = 4
-    J = -(-L // C)
-    kp = jnp.pad(keep_mask, ((0, 0), (0, J * C - L)))
-    per_chunk = jnp.sum(
-        kp.reshape(B, J, C).astype(jnp.int32), axis=2
-    )
-    collision = jnp.any(per_chunk >= 2)
-    sel_pos = jax.lax.cond(
-        collision,
-        lambda s, k: _select_top_peaks_segmented(s, k, num_events),
-        lambda s, k: _select_top_peaks_chunkmax(s, k, num_events),
-        scores,
-        keep_mask,
-    )
-    return sel_pos, ok
+    if non_adjacent:
+        return _select_top_peaks_chunkmax(
+            scores, keep_mask, num_events, C=2
+        ), ok
+    return _select_top_peaks_segmented(scores, keep_mask, num_events), ok
