@@ -35,7 +35,7 @@ from warpdemux_tpu.models.registry import load_model
 from warpdemux_tpu.pipeline.step import make_demux_step
 
 BASELINE_READS_PER_S = 700.0
-N_BATCHES = 12
+N_BATCHES = 16  # matches bench.py compute_only (ramp/drain weigh ~25% at 12)
 
 
 def measure(step_fn, resident):
