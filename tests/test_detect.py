@@ -185,3 +185,63 @@ def test_rolling_kernels_on_device():
         cwd=repo,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_rolling_detect_fused_matches_unfused():
+    """Interpret-mode parity for the fused detect kernel
+    (ops/rolling_pallas.rolling_detect_pallas): rolling stats match the
+    jnp path to prefix-sum rounding, and BOTH candidate run-sums are
+    bit-identical to _run_sum over the XLA-built masks (the fused path
+    rebuilds the masks in-kernel from its own mean/var values)."""
+    import jax.numpy as jnp
+
+    from warpdemux_tpu.detect.boundaries import (
+        _rolling_mean_var_fwd,
+        _shift_clamp,
+    )
+    from warpdemux_tpu.ops.rolling_pallas import rolling_detect_pallas
+
+    rng = np.random.default_rng(41)
+    B, L = 6, 2048
+    w_mean, w_var, w_run = 200, 500, 100
+    svm = 30.0
+    x = rng.normal(80, 12, (B, L)).astype(np.float32)
+    in_lens = rng.integers(900, L + 1, B).astype(np.int32)
+    pos = np.arange(L)[None, :]
+    xz = np.where(pos < in_lens[:, None], x, 0.0).astype(np.float32)
+    region = (rng.random((B, L)) < 0.5).astype(np.float32)
+    thr = rng.uniform(85, 100, B).astype(np.float32)
+
+    m, vf, vw, rsp, rsm = rolling_detect_pallas(
+        jnp.asarray(xz), jnp.asarray(region), jnp.asarray(thr),
+        jnp.asarray(in_lens), w_mean, w_var, w_run, svm, interpret=True,
+    )
+    m_want, vf_want = _rolling_mean_var_fwd(jnp.asarray(xz), w_mean)
+    _, vw_want = _rolling_mean_var_fwd(jnp.asarray(xz), w_var)
+    np.testing.assert_allclose(
+        np.asarray(m), np.asarray(m_want), rtol=5e-4, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(vw)[:, : L - w_var],
+        np.asarray(vw_want)[:, : L - w_var],
+        rtol=3e-3,
+        atol=0.1,
+    )
+
+    # run-sums: rebuild the masks exactly as detect does FROM THE KERNEL'S
+    # OWN mean/var outputs — bit-identical ints required
+    valid = pos < in_lens[:, None]
+    win_ok = (pos + w_run) <= in_lens[:, None]
+    base = (
+        (np.asarray(m) > thr[:, None])
+        & (np.asarray(vw) < svm)
+        & valid
+        & win_ok
+    )
+    for got, mask in ((rsp, base), (rsm, base & (region > 0))):
+        z = jnp.zeros((B, 1), jnp.int32)
+        cc = jnp.concatenate(
+            [z, jnp.cumsum(jnp.asarray(mask, jnp.int32), axis=1)], axis=1
+        )
+        want = _shift_clamp(cc, w_run) - cc[:, :L]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

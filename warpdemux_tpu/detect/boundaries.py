@@ -53,6 +53,9 @@ import os as _os
 _PALLAS_MEDIANS = (
     _os.environ.get("WDX_MEDIAN_IMPL", "pallas").lower() != "xla"
 )
+# Fused rolling-stats + candidate-run-sum kernel: measured a wash on the
+# r5 device (see the `fused` branch below) — off unless explicitly asked.
+_FUSED_ROLLING = _os.environ.get("WDX_FUSED_ROLLING", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -309,6 +312,32 @@ def _range_medians(x, starts, ends, with_mad=False, adc=None):
     )
 
 
+def _cnn_region_mask(xz, in_lens, cfg, cnn_params, pos, L):
+    """CNN region prior as an f32 0/1 (B, L) mask (prefix-causal: input,
+    validity and normalization capped at cnn_input_cap; only the capped
+    lanes are computed — see DetectConfig.cnn_input_cap)."""
+    from warpdemux_tpu.detect import cnn as cnn_mod
+
+    ds = cfg.downscale_factor
+    if cfg.cnn_input_cap and cfg.cnn_input_cap < L:
+        cap = cfg.cnn_input_cap
+        W_cnn = -(-cap // ds) * ds
+        x_cnn = jnp.where(pos[:, :W_cnn] < cap, xz[:, :W_cnn], 0.0)
+        lens_cnn = jnp.minimum(in_lens, cap)
+    else:
+        x_cnn, lens_cnn = xz, in_lens
+    xn, valid_ds = cnn_mod.preprocess(x_cnn, lens_cnn, ds)
+    logits = cnn_mod.apply(cnn_params, xn)
+    pa_ds = cnn_mod.polya_mask_from_logits(logits, valid_ds)
+    region_mask = jnp.repeat(pa_ds, ds, axis=1)
+    if region_mask.shape[1] < L:
+        region_mask = jnp.pad(
+            region_mask,
+            ((0, 0), (0, L - region_mask.shape[1])),
+        )
+    return region_mask.astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "with_stats", "resolve_limit")
 )
@@ -320,6 +349,7 @@ def detect_boundaries_batch(
     with_stats: bool = True,
     adc: jnp.ndarray | None = None,
     resolve_limit: int = 0,
+    cnn_region: jnp.ndarray | None = None,
 ) -> DetectArrays:
     """Detect adapter/polyA/RNA boundaries for a (B, L) minibatch.
 
@@ -361,13 +391,12 @@ def detect_boundaries_batch(
     valid = pos < in_lens[:, None]
     xz = jnp.where(valid, x, 0.0)
 
-    mean_f, var_f, var_w = _rolling_stats(
-        xz, cfg.mean_window, cfg.var_window
-    )
-
     sp_fail = jnp.zeros(B, bool)  # "rna start peak not found"
 
     if cfg.method == "start_peak":
+        mean_f, var_f, var_w = _rolling_stats(
+            xz, cfg.mean_window, cfg.var_window
+        )
         # ---- [rna_start_peak] primary (tRNA): anchor the adapter start on
         # the capture spike at the head of the read, then (optionally)
         # locate a short polyA; without one, place the adapter->RNA
@@ -464,40 +493,18 @@ def detect_boundaries_batch(
         # level ramp.)
         region_mask = None
         if cfg.method == "cnn":
-            from warpdemux_tpu.detect import cnn as cnn_mod
-
-            if cnn_params is None:
-                raise ValueError(
-                    "method='cnn' requires cnn_params "
-                    "(load_params(model_name))"
-                )
-            ds = cfg.downscale_factor
-            if cfg.cnn_input_cap and cfg.cnn_input_cap < L:
-                # prefix-causal CNN: input, validity and normalization
-                # stats all capped at cnn_input_cap (see DetectConfig).
-                # Only the capped lanes are COMPUTED: the conv stack runs
-                # on the ceil(cap/ds)-lane slice instead of all L/ds lanes
-                # (everything past the cap was explicit zeros — SAME-pad
-                # zeros give identical logits on the kept lanes, ~30%
-                # less conv work at cap=7168/L=10000), and the region
-                # mask is padded back with False.
-                cap = cfg.cnn_input_cap
-                W_cnn = -(-cap // ds) * ds
-                x_cnn = jnp.where(
-                    pos[:, :W_cnn] < cap, xz[:, :W_cnn], 0.0
-                )
-                lens_cnn = jnp.minimum(in_lens, cap)
+            if cnn_region is not None:
+                region_mask = cnn_region > 0
             else:
-                x_cnn, lens_cnn = xz, in_lens
-            xn, valid_ds = cnn_mod.preprocess(x_cnn, lens_cnn, ds)
-            logits = cnn_mod.apply(cnn_params, xn)
-            pa_ds = cnn_mod.polya_mask_from_logits(logits, valid_ds)
-            region_mask = jnp.repeat(pa_ds, ds, axis=1)
-            if region_mask.shape[1] < L:
-                region_mask = jnp.pad(
-                    region_mask,
-                    ((0, 0), (0, L - region_mask.shape[1])),
+                if cnn_params is None:
+                    raise ValueError(
+                        "method='cnn' requires cnn_params "
+                        "(load_params(model_name))"
+                    )
+                cnn_region = _cnn_region_mask(
+                    xz, in_lens, cfg, cnn_params, pos, L
                 )
+                region_mask = cnn_region > 0
 
         # adapter level proxy: median of the first min_obs_adapter samples
         adapter_proxy_med = _range_medians(
@@ -512,13 +519,62 @@ def detect_boundaries_batch(
         # validated by the mvs gate below at the contract values
         thr = cfg.search_scale * adapter_proxy_med[:, None]
         win_ok = (pos + cfg.min_obs_polya) <= in_lens[:, None]
-        cand = (mean_f > thr) & (var_w < cfg.search_var_max) & valid & win_ok
-        if region_mask is not None:
-            cand = cand & region_mask
+        W = cfg.min_obs_polya
+        fused = (
+            _FUSED_ROLLING
+            and cnn_region is not None
+            and jax.default_backend() == "tpu"
+        )
+        if fused:
+            # one VMEM launch for the rolling stats AND both candidate
+            # run-sums; the fallback pair (cnn primary + llr) makes the
+            # IDENTICAL call — cnn_region is passed to both by
+            # detect_boundaries_with_fallback — so XLA CSE leaves ONE
+            # launch for the whole detect pair (ops/rolling_pallas.py).
+            # MEASURED A WASH on the r5 device, hence off by default
+            # (WDX_FUSED_ROLLING=1 enables): the single launch costs
+            # 1.985 ms — exactly the 1.007 + 2x0.488 of the three ops it
+            # replaces (the doubling-scan cumsums are compute-bound, not
+            # HBM-bound) — while the XLA-side cand-mask rebuilds add
+            # ~0.4 ms of new fusions. Kept as groundwork: a
+            # bounded-window doubling scan (log2(w) rounds instead of
+            # log2(L)) could roughly halve the kernel, but changes the
+            # sum association and with it marginal-read decisions.
+            from warpdemux_tpu.ops.rolling_pallas import (
+                rolling_detect_pallas,
+            )
+
+            mean_f, var_f, var_w, rs_plain, rs_masked = (
+                rolling_detect_pallas(
+                    xz, cnn_region, adapter_proxy_med * cfg.search_scale,
+                    in_lens, cfg.mean_window, cfg.var_window, W,
+                    cfg.search_var_max,
+                )
+            )
+            run_sum = rs_masked if cfg.method == "cnn" else rs_plain
+            cand = (
+                (mean_f > thr)
+                & (var_w < cfg.search_var_max)
+                & valid
+                & win_ok
+            )
+            if region_mask is not None:
+                cand = cand & region_mask
+        else:
+            mean_f, var_f, var_w = _rolling_stats(
+                xz, cfg.mean_window, cfg.var_window
+            )
+            cand = (
+                (mean_f > thr)
+                & (var_w < cfg.search_var_max)
+                & valid
+                & win_ok
+            )
+            if region_mask is not None:
+                cand = cand & region_mask
+            run_sum = _run_sum(cand, W)
 
         # sustained for min_obs_polya samples
-        W = cfg.min_obs_polya
-        run_sum = _run_sum(cand, W)
         sustained = (run_sum == W) & cand
 
         coarse_ps, found = _first_true(sustained, jnp.int32(0))
@@ -815,9 +871,20 @@ def detect_boundaries_with_fallback(
     # region stats are computed once on the merged boundaries — statistics
     # are a pure function of (signal, start, end), so this equals selecting
     # the per-method stats row-wise while doing a third of the median work.
+    # The CNN region prior is computed ONCE here and handed to both passes:
+    # with identical (signal, region) inputs their fused rolling+run-sum
+    # launches CSE into one (detect_boundaries_batch `fused` path).
+    cnn_region = None
+    if cfg.method == "cnn" and cnn_params is not None:
+        x32 = signals.astype(jnp.float32)
+        B, L = x32.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        lens32 = in_lens.astype(jnp.int32)
+        xz = jnp.where(pos < lens32[:, None], x32, 0.0)
+        cnn_region = _cnn_region_mask(xz, lens32, cfg, cnn_params, pos, L)
     primary = detect_boundaries_batch(
         signals, in_lens, cfg, cnn_params, with_stats=False, adc=adc,
-        resolve_limit=resolve_limit,
+        resolve_limit=resolve_limit, cnn_region=cnn_region,
     )
     llr = detect_boundaries_batch(
         signals,
@@ -826,6 +893,7 @@ def detect_boundaries_with_fallback(
         with_stats=False,
         adc=adc,
         resolve_limit=resolve_limit,
+        cnn_region=cnn_region,
     )
     use_llr = ~primary.success
 

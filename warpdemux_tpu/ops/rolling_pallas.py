@@ -152,3 +152,118 @@ def rolling_run_sum_pallas(
         interpret=interpret,
     )(mi)
     return out[:B]
+
+
+def _detect_stats_kernel(
+    w_mean, w_var, w_run, svm_max,
+    x_ref, region_ref, thr_ref, len_ref,
+    mean_ref, varf_ref, varw_ref, rsp_ref, rsm_ref,
+):
+    x = x_ref[...]  # (bt, L) f32, validity-zeroed
+    bt, L = x.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bt, L), 1)
+    zero = jnp.zeros((bt, L), jnp.float32)
+    c1 = _cumsum_lanes(x)
+    c2 = _cumsum_lanes(x * x)
+
+    def mean_var(w):
+        n = (jnp.minimum(pos + w, L) - pos).astype(jnp.float32)
+        s1 = _window_sum(c1, w, pos, zero)
+        s2 = _window_sum(c2, w, pos, zero)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        return mean, var
+
+    mean_f, var_f = mean_var(w_mean)
+    _, var_w = mean_var(w_var)
+    mean_ref[...] = mean_f
+    varf_ref[...] = var_f
+    varw_ref[...] = var_w
+
+    # the poly(A) candidate mask, exactly as detect/boundaries.py builds
+    # it from the kernel's own outputs (f32 HBM round trips are exact, so
+    # in-VMEM comparison == XLA-side comparison bit for bit)
+    n_valid = jnp.zeros((bt, L), jnp.int32) + len_ref[...][:, :1]
+    thr = jnp.zeros((bt, L), jnp.float32) + thr_ref[...][:, :1]
+    base = (
+        (mean_f > thr)
+        & (var_w < svm_max)
+        & (pos < n_valid)
+        & (pos + w_run <= n_valid)
+    )
+    zi = jnp.zeros((bt, L), jnp.int32)
+    cp = _cumsum_lanes(jnp.where(base, 1, 0))
+    rsp_ref[...] = _window_sum(cp, w_run, pos, zi)
+    cm = _cumsum_lanes(jnp.where(base & (region_ref[...] > 0), 1, 0))
+    rsm_ref[...] = _window_sum(cm, w_run, pos, zi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w_mean", "w_var", "w_run", "svm_max", "b_tile",
+                     "interpret"),
+)
+def rolling_detect_pallas(
+    x: jnp.ndarray,
+    region: jnp.ndarray,  # (B, L) f32 0/1 CNN region prior (ones if none)
+    thr: jnp.ndarray,  # (B,) f32 per-row candidate level threshold
+    in_lens: jnp.ndarray,  # (B,) i32
+    w_mean: int,
+    w_var: int,
+    w_run: int,
+    svm_max: float,
+    b_tile: int = 16,
+    interpret: bool = False,
+):
+    """Fused rolling stats + candidate run-sums for the detect stage.
+
+    One VMEM-resident launch produces (mean[w_mean], var[w_mean],
+    var[w_var]) AND the two sustained-run sums the cnn+llr fallback pair
+    consumes — rs_plain over the raw elevated+flat candidate mask and
+    rs_masked over (mask & region) — so the candidate masks never
+    materialize in HBM and the two rolling_run_sum launches disappear.
+    The masks are rebuilt in-kernel from the kernel's own mean/var values
+    (f32 round trips are exact), keeping every downstream comparison
+    bit-identical to the unfused path; pinned by
+    tests/test_detect.py::test_rolling_detect_fused_matches_unfused.
+    """
+    B, L = x.shape
+    Bp = -(-B // b_tile) * b_tile
+    xf = x.astype(jnp.float32)
+    rf = region.astype(jnp.float32)
+    if Bp != B:
+        xf = jnp.pad(xf, ((0, Bp - B), (0, 0)))
+        rf = jnp.pad(rf, ((0, Bp - B), (0, 0)))
+    thr2 = jnp.broadcast_to(
+        thr.astype(jnp.float32)[:, None], (B, 128)
+    )
+    len2 = jnp.broadcast_to(
+        in_lens.astype(jnp.int32)[:, None], (B, 128)
+    )
+    if Bp != B:
+        thr2 = jnp.pad(thr2, ((0, Bp - B), (0, 0)))
+        len2 = jnp.pad(len2, ((0, Bp - B), (0, 0)))
+    kernel = functools.partial(
+        _detect_stats_kernel, int(w_mean), int(w_var), int(w_run),
+        float(svm_max),
+    )
+    spec = pl.BlockSpec((b_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec128 = pl.BlockSpec(
+        (b_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    outf = jax.ShapeDtypeStruct((Bp, L), jnp.float32)
+    outi = jax.ShapeDtypeStruct((Bp, L), jnp.int32)
+    mean_f, var_f, var_w, rsp, rsm = pl.pallas_call(
+        kernel,
+        out_shape=(outf, outf, outf, outi, outi),
+        grid=(Bp // b_tile,),
+        in_specs=[spec, spec, spec128, spec128],
+        out_specs=(spec, spec, spec, spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * L * 140,
+            bytes_accessed=Bp * L * 28,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, rf, thr2, len2)
+    return mean_f[:B], var_f[:B], var_w[:B], rsp[:B], rsm[:B]
